@@ -1,0 +1,111 @@
+# coding=utf-8
+"""Transformer building blocks for the CLIP towers (flax.linen).
+
+Numerics parity notes vs the reference (modules/clip.py:183-253):
+* LayerNorm always computes in float32 and casts back (clip.py:183-189).
+* QuickGELU = x * sigmoid(1.702 x) (clip.py:192-194).
+* Attention softmax runs in float32 even when activations are bfloat16.
+Layout: [batch, tokens, dim] throughout — the reference's LND permutes exist
+only to feed torch's nn.MultiheadAttention and are dropped here.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32 regardless of activation dtype."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig = x.dtype
+        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm")(
+                             x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with a fused QKV projection.
+
+    Weight layout mirrors torch nn.MultiheadAttention (in_proj packs Q,K,V
+    rows in that order) so checkpoints convert with a single transpose.
+    """
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        B, L, D = x.shape
+        H = self.heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+
+        scale = hd ** -0.5
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            logits = logits + attn_mask.astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    """c_fc -> QuickGELU -> c_proj (reference: clip.py:207-211)."""
+    width: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.width * 4, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="c_fc")(x)
+        h = quick_gelu(h)
+        return nn.Dense(self.width, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="c_proj")(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block (reference: clip.py:197-253), without the
+    cluster hooks — those are owned by the vision tower so that the token
+    count can change *between* blocks with static shapes."""
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
+                                   name="attn")(
+            LayerNormF32(name="ln_1")(x), attn_mask)
+        x = x + MLP(self.width, self.dtype, name="mlp")(
+            LayerNormF32(name="ln_2")(x))
+        return x
+
+
+def causal_mask(length: int) -> jax.Array:
+    """Additive causal mask (reference: clip.py:448-454): -inf above the
+    diagonal, 0 elsewhere."""
+    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
+    return jnp.triu(mask, k=1)
