@@ -68,6 +68,9 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         arch = cfg.arch
         width = arch["vision_width"]
+        # vision heads = width // 64 in real CLIP (clip.py:389); overridable
+        # for non-standard architectures
+        vision_heads = arch.get("vision_heads", width // 64)
         P = arch["vision_patch_size"]
         dtype = jnp.dtype(cfg.compute_dtype)
         BT, C, H, W = video.shape
@@ -112,7 +115,7 @@ class VisionTransformer(nn.Module):
                 mod = TokenClusterInter(spec=spec, cfg=cfg.cluster,
                                         width=width, name=f"cluster_{i}")
                 x = mod(x, deterministic=deterministic, rng=rng)
-            x = ResidualAttentionBlock(width, width // 64, dtype,
+            x = ResidualAttentionBlock(width, vision_heads, dtype,
                                        name=f"resblocks_{i}")(x)
             if spec is not None and spec.algo == "token_shift":
                 # token_shift runs again after attention (clip.py:247-248)
