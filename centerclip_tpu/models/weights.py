@@ -113,13 +113,20 @@ def _clip_entries(cfg: ModelConfig):
     for i in range(arch["vision_layers"]):
         e += _block_entries(v + (f"resblocks_{i}",),
                             f"clip.visual.transformer.resblocks.{i}")
-    # learned cluster params live on the torch block module
-    plan = cfg.cluster_plan()
-    for i, spec in enumerate(plan):
-        if spec is None:
+    # learned cluster params live on the torch block module; only present
+    # when the corresponding config flag enables them (cluster.py:159-172)
+    cluster_param_names = []
+    if cfg.cluster.cluster_embedding:
+        cluster_param_names.append("cluster_embed")
+    if cfg.cluster.cluster_frame_embedding:
+        cluster_param_names.append("cluster_frame_embed")
+    if cfg.cluster.adaptive_cls:
+        cluster_param_names.append("cls_multiplier")
+    for i, spec in enumerate(cfg.cluster_plan()):
+        if spec is None or spec.algo not in ("kmediods++", "spectral"):
             continue
         tprefix = f"clip.visual.transformer.resblocks.{i}.tokencluster_inter"
-        for name in ("cluster_embed", "cluster_frame_embed", "cls_multiplier"):
+        for name in cluster_param_names:
             e.append((v + (f"cluster_{i}", name), f"{tprefix}.{name}", ""))
     t = ("clip", "text")
     e.append((t + ("token_embedding",), "clip.token_embedding.weight", ""))

@@ -1,0 +1,3 @@
+# coding=utf-8
+from .mesh import (DATA_AXIS, create_mesh, batch_sharding, replicated,
+                   shard_batch, replicate, local_shard_bounds)

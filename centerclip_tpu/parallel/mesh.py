@@ -1,0 +1,68 @@
+# coding=utf-8
+"""Device mesh and sharding helpers.
+
+The reference's process-per-GPU DDP + NCCL stack (main.py:54-62,123-125,
+utils/dist_utils.py:101-122) maps to a single-controller JAX program with a
+1-D ``data`` mesh over all chips: parameters are replicated, batches are
+sharded on the data axis, and XLA lowers the gradient reductions and the
+contrastive feature all-gather to ICI collectives.  Multi-host runs call
+`jax.distributed.initialize` once and use the same code path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: int = 0,
+                devices: Optional[list] = None) -> Mesh:
+    """1-D data-parallel mesh.  `num_devices <= 0` uses every visible device
+    (the analogue of the reference counting GPUs, main.py:44-53)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for batches."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along axis 0.
+
+    In multi-host runs each process holds its own slice of the global batch
+    (the DistributedSampler analogue) and
+    `jax.make_array_from_process_local_data` assembles the global array.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def local_shard_bounds(total: int, process_index: int,
+                       process_count: int) -> tuple:
+    """Contiguous per-process shard of a dataset (DistributedSampler
+    semantics without padding: reference data_dataloaders.py:26-29)."""
+    per = total // process_count
+    start = process_index * per
+    end = start + per if process_index < process_count - 1 else total
+    return start, end

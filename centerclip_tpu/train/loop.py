@@ -1,0 +1,178 @@
+# coding=utf-8
+"""Training loop (reference: main.py:291-378), TPU-native.
+
+One jitted `train_step` runs the whole update on the device mesh: forward
+(global contrastive loss — under GSPMD the feature all-gather of
+clip4clip.py:351-355 is inserted by XLA), backward, global-norm clip,
+optimizer, and the logit-scale clamp to [0.1, ln 100] (main.py:336-340).
+Gradient accumulation folds micro-batches with a `lax.scan`-free running sum
+(the loop is host-side over already-materialised micro-batches, mirroring the
+reference's step%accum pattern).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import RunConfig
+from ..models.clip4clip import CLIP4Clip
+from ..parallel.mesh import DATA_AXIS, create_mesh, replicate, shard_batch
+from .optim import build_optimizer, current_lr
+from .state import TrainState
+
+logger = logging.getLogger(__name__)
+
+LOGIT_SCALE_MIN, LOGIT_SCALE_MAX = 0.1, 4.6052  # ln(100), main.py:336-340
+
+
+def clamp_logit_scale(params):
+    params = dict(params)
+    clip = dict(params["clip"])
+    clip["logit_scale"] = jnp.clip(clip["logit_scale"],
+                                   LOGIT_SCALE_MIN, LOGIT_SCALE_MAX)
+    params["clip"] = clip
+    return params
+
+
+def make_train_step(model: CLIP4Clip, tx, accum_steps: int = 1
+                    ) -> Callable:
+    """Build the jitted train step.
+
+    Batch layout: dict(input_ids, attention_mask, video, video_mask) with
+    leading axis sharded over the data mesh axis.
+    """
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params},
+                          input_ids=batch["input_ids"],
+                          attention_mask=batch["attention_mask"],
+                          video=batch["video"],
+                          video_mask=batch["video_mask"],
+                          training=True, rng=rng)
+        return out["loss"], (out["sim_loss"], out["cluster_loss"])
+
+    def _grad(params, batch, rng):
+        (loss, (sim_loss, cluster_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        return loss, sim_loss, cluster_loss, grads
+
+    def _apply(state: TrainState, grads):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                              state.params, updates)
+        params = clamp_logit_scale(params)
+        return state.replace(params=params, opt_state=opt_state,
+                             global_step=state.global_step + 1)
+
+    grad_step = jax.jit(_grad)
+    apply_grads = jax.jit(_apply)
+
+    @jax.jit
+    def fused_step(state: TrainState, batch, rng):
+        """Single-micro-batch fast path: forward+backward+update in one
+        compilation."""
+        loss, sim_loss, cluster_loss, grads = _grad(state.params, batch, rng)
+        new_state = _apply(state, grads)
+        return new_state, {"loss": loss, "sim_loss": sim_loss,
+                           "cluster_loss": cluster_loss}
+
+    if accum_steps <= 1:
+        return fused_step
+
+    @jax.jit
+    def add_grads(acc, grads, scale):
+        return jax.tree.map(lambda a, g: a + g * scale, acc, grads)
+
+    def accum_step(state: TrainState, micro_batches, rng):
+        """Host loop over `accum_steps` micro-batches; grads averaged like
+        the reference's loss/accum division (main.py:316-317)."""
+        acc = None
+        tot = {"loss": 0.0, "sim_loss": 0.0, "cluster_loss": 0.0}
+        scale = 1.0 / len(micro_batches)
+        for i, mb in enumerate(micro_batches):
+            sub = jax.random.fold_in(rng, i)
+            loss, sim_loss, cluster_loss, grads = grad_step(
+                state.params, mb, sub)
+            acc = grads if acc is None else add_grads(acc, grads, 1.0)
+            tot["loss"] += float(loss) * scale
+            tot["sim_loss"] += float(sim_loss) * scale
+            tot["cluster_loss"] += float(cluster_loss) * scale
+        acc = jax.tree.map(lambda g: g / len(micro_batches), acc)
+        state = apply_grads(state, acc)
+        return state, tot
+
+    return accum_step
+
+
+class Trainer:
+    """Epoch driver (reference: main_worker + train_epoch, main.py:72-378)."""
+
+    def __init__(self, cfg: RunConfig, model: CLIP4Clip, params,
+                 total_steps: int, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh if mesh is not None else create_mesh(cfg.data_parallel)
+        self.tx = build_optimizer(cfg.optim, params, total_steps)
+        params = replicate(self.mesh, params)
+        self.state = TrainState.create(params, self.tx)
+        self.total_steps = total_steps
+        self.accum = cfg.optim.gradient_accumulation_steps
+        self._step_fn = make_train_step(model, self.tx, self.accum)
+        self.metric_writer = None
+
+    def train_epoch(self, epoch: int, batches: Iterable[Dict[str, np.ndarray]],
+                    rng: jax.Array, n_display: int = 100) -> Tuple[float, int]:
+        """Returns (mean loss, global_step)."""
+        total_loss, n = 0.0, 0
+        micro = []
+        end = time.time()
+        with self.mesh:
+            for step, host_batch in enumerate(batches):
+                batch = shard_batch(self.mesh, host_batch)
+                data_time = time.time() - end
+                if self.accum > 1:
+                    micro.append(batch)
+                    if len(micro) < self.accum:
+                        continue
+                    sub = jax.random.fold_in(rng, step)
+                    self.state, logs = self._step_fn(self.state, micro, sub)
+                    micro = []
+                else:
+                    sub = jax.random.fold_in(rng, step)
+                    self.state, logs = self._step_fn(self.state, batch, sub)
+                batch_time = time.time() - end
+                end = time.time()
+                gstep = int(jax.device_get(self.state.global_step))
+                loss = float(jax.device_get(logs["loss"]))
+                total_loss += loss
+                n += 1
+                if gstep % n_display == 0:
+                    scale = float(jax.device_get(
+                        self.state.params["clip"]["logit_scale"]))
+                    lr = current_lr(self.cfg.optim, gstep, self.total_steps)
+                    logger.info(
+                        "Epoch: %d step %d\tSimLoss: %.4f CLoss %.4f\t"
+                        "Data (t) %.3f\tBatch (t) %.3f\tLR: %.1e\t"
+                        "logit_scale %.3f", epoch, gstep,
+                        float(jax.device_get(logs["sim_loss"])),
+                        float(jax.device_get(logs["cluster_loss"])),
+                        data_time, batch_time, lr, scale)
+                    if self.metric_writer is not None:
+                        self.metric_writer.log(
+                            {"train/sim_loss": float(jax.device_get(
+                                logs["sim_loss"])),
+                             "train/cluster_loss": float(jax.device_get(
+                                 logs["cluster_loss"])),
+                             "train/data_time": data_time,
+                             "train/batch_time": batch_time,
+                             "train/scale": scale, "train/lr": lr},
+                            step=gstep)
+        return total_loss / max(n, 1), int(jax.device_get(
+            self.state.global_step))

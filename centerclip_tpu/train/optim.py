@@ -1,0 +1,258 @@
+# coding=utf-8
+"""Optimizers and LR schedules (reference: utils/optimization.py,
+utils/lr_scheduler.py), built on optax.
+
+Param groups replicate `prep_optim_params_groups`
+(reference: optimization.py:174-225): {CLIP, non-CLIP} × {decay, no-decay},
+where CLIP params get `lr * coef_lr` and `new_added_modules`
+(time/frame embeddings, deepcluster) count as non-CLIP even under the clip
+tower.  No-decay = biases and LayerNorm scales/biases.
+
+* ``BertAdam``: Adam without bias correction, decoupled weight decay added to
+  the update, per-parameter gradient clipping, and the LR schedule evaluated
+  *inside* the step from `state.step / t_total`
+  (reference: optimization.py:106-171).
+* ``AdamW``: torch.optim.AdamW semantics with an iteration-based scheduler
+  writing `lr * lr_mult` per group (reference: lr_scheduler.py:65-121).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import OptimConfig
+
+
+# ---------------------------------------------------------------------------
+# schedules
+# ---------------------------------------------------------------------------
+def warmup_cosine(x, warmup=0.002):
+    """reference: optimization.py:26-29"""
+    return jnp.where(x < warmup, x / warmup, 0.5 * (1.0 + jnp.cos(math.pi * x)))
+
+
+def warmup_constant(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup, 1.0)
+
+
+def warmup_linear(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup,
+                     jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0))
+
+
+BERT_SCHEDULES = {
+    "warmup_cosine": warmup_cosine,
+    "warmup_constant": warmup_constant,
+    "warmup_linear": warmup_linear,
+}
+
+
+def make_lr_schedule(cfg: OptimConfig, total_steps: int) -> Callable:
+    """Iteration-based scheduler used with AdamW
+    (reference: lr_scheduler.py:65-110): linear warmup over
+    `slow_start_iters = warmup_proportion * total_steps` then cos/poly/HTD
+    decay, floored at end_lr."""
+    slow_start = int(cfg.warmup_proportion * total_steps)
+    slow_start_lr = 1e-8
+    total = max(total_steps - slow_start, 1)
+    init_lr = cfg.lr
+
+    def schedule(step):
+        t = jnp.asarray(step, jnp.float32)
+        warm = jnp.minimum(
+            (t / max(slow_start, 1)) * (init_lr - slow_start_lr)
+            + slow_start_lr, init_lr)
+        tt = t - slow_start
+        if cfg.lr_mode == "cos":
+            decay = 0.5 * init_lr * (1.0 + jnp.cos(tt / total * math.pi))
+        elif cfg.lr_mode == "poly":
+            decay = init_lr * jnp.power(jnp.maximum(1.0 - tt / total, 0.0), 0.9)
+        elif cfg.lr_mode == "HTD":
+            ratio = tt / total
+            decay = 0.5 * init_lr * (1.0 - jnp.tanh(-6.0 + 9.0 * ratio))
+        else:
+            raise NotImplementedError(cfg.lr_mode)
+        lr = jnp.where((slow_start > 0) & (t <= slow_start), warm, decay)
+        return jnp.maximum(lr, cfg.end_lr)
+
+    return schedule
+
+
+# ---------------------------------------------------------------------------
+# param grouping
+# ---------------------------------------------------------------------------
+NEW_ADDED_MODULES = ("time_embedding", "frame_embedding", "deepcluster")
+
+
+def _path_names(path) -> list:
+    return [p.key if hasattr(p, "key") else str(p) for p in path]
+
+
+def param_group_label(path, _=None) -> str:
+    """Label a param path as {clip,noclip}_{decay,nodecay}
+    (reference: optimization.py:180-194)."""
+    names = _path_names(path)
+    is_clip = names[0] == "clip" and not any(
+        any(nd in n for nd in NEW_ADDED_MODULES) for n in names)
+    # torch no_decay = ['bias', 'LayerNorm.bias', 'LayerNorm.weight']; in our
+    # tree LayerNorm params live under .../norm/{scale,bias}
+    no_decay = names[-1] == "bias" or (len(names) >= 2 and names[-2] == "norm")
+    return f"{'clip' if is_clip else 'noclip'}_{'nodecay' if no_decay else 'decay'}"
+
+
+def group_labels(params) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: param_group_label(p), params)
+
+
+# ---------------------------------------------------------------------------
+# BertAdam
+# ---------------------------------------------------------------------------
+class BertAdamState(NamedTuple):
+    step: jax.Array
+    mu: Any
+    nu: Any
+
+
+def bert_adam(cfg: OptimConfig, total_steps: int,
+              labels: Any) -> optax.GradientTransformation:
+    """reference: optimization.py:106-171 + group table optimization.py:201-208.
+
+    Groups: clip_* get lr*coef_lr; *_decay get weight_decay, *_nodecay get 0.
+    """
+    schedule_fct = BERT_SCHEDULES[cfg.schedule]
+    max_grad_norm = 1.0  # BertAdam default (optimization.py:71)
+
+    def group_lr(label):
+        base = cfg.lr * (cfg.coef_lr if label.startswith("clip") else 1.0)
+        return base
+
+    def group_wd(label):
+        return cfg.weight_decay if label.endswith("_decay") else 0.0
+
+    def init_fn(params):
+        return BertAdamState(
+            step=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        assert params is not None
+        progress = state.step.astype(jnp.float32) / max(total_steps, 1)
+        sched = schedule_fct(progress, cfg.warmup_proportion)
+
+        def per_leaf(g, mu, nu, p, label):
+            g = g.astype(jnp.float32)
+            # per-parameter clipping (optimization.py:137-139)
+            gnorm = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.minimum(1.0, max_grad_norm / jnp.maximum(gnorm, 1e-12))
+            mu = cfg.beta1 * mu + (1.0 - cfg.beta1) * g
+            nu = cfg.beta2 * nu + (1.0 - cfg.beta2) * g * g
+            upd = mu / (jnp.sqrt(nu) + cfg.eps)
+            upd = upd + group_wd(label) * p
+            lr_t = group_lr(label) * sched
+            return -lr_t * upd, mu, nu
+
+        out = jax.tree.map(per_leaf, grads, state.mu, state.nu, params, labels)
+        updates = jax.tree.map(lambda o: o[0], out,
+                               is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree.map(lambda o: o[1], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree.map(lambda o: o[2], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        return updates, BertAdamState(step=state.step + 1, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# AdamW + external scheduler
+# ---------------------------------------------------------------------------
+class AdamWState(NamedTuple):
+    step: jax.Array
+    mu: Any
+    nu: Any
+
+
+def adamw_grouped(cfg: OptimConfig, total_steps: int,
+                  labels: Any) -> optax.GradientTransformation:
+    """torch AdamW semantics with the reference's per-group lr_mult/decay_mult
+    (optimization.py:210-222) and the iteration scheduler
+    (lr_scheduler.py:65-121)."""
+    schedule = make_lr_schedule(cfg, total_steps)
+
+    def lr_mult(label):
+        return cfg.coef_lr if label.startswith("clip") else 1.0
+
+    def decay_mult(label):
+        return 1.0 if label.endswith("_decay") else 0.0
+
+    def init_fn(params):
+        return AdamWState(
+            step=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        assert params is not None
+        lr_t = schedule(state.step)
+        count = state.step + 1
+        bc1 = 1.0 - cfg.beta1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - cfg.beta2 ** count.astype(jnp.float32)
+
+        def per_leaf(g, mu, nu, p, label):
+            g = g.astype(jnp.float32)
+            mu = cfg.beta1 * mu + (1.0 - cfg.beta1) * g
+            nu = cfg.beta2 * nu + (1.0 - cfg.beta2) * g * g
+            mhat = mu / bc1
+            vhat = nu / bc2
+            step_lr = lr_t * lr_mult(label)
+            upd = mhat / (jnp.sqrt(vhat) + cfg.eps)
+            # decoupled weight decay, lr-coupled like torch AdamW
+            delta = -step_lr * (upd + cfg.weight_decay * decay_mult(label) * p)
+            return delta, mu, nu
+
+        out = jax.tree.map(per_leaf, grads, state.mu, state.nu, params, labels)
+        updates = jax.tree.map(lambda o: o[0], out,
+                               is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree.map(lambda o: o[1], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree.map(lambda o: o[2], out,
+                          is_leaf=lambda x: isinstance(x, tuple))
+        return updates, AdamWState(step=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(cfg: OptimConfig, params, total_steps: int
+                    ) -> optax.GradientTransformation:
+    """Assemble the configured optimizer with global-norm clipping first
+    (reference: main.py:323-334 applies clip_grad_norm_ to all params for
+    both optimizers)."""
+    labels = group_labels(params)
+    if cfg.optim == "BertAdam":
+        inner = bert_adam(cfg, total_steps, labels)
+    elif cfg.optim == "AdamW":
+        inner = adamw_grouped(cfg, total_steps, labels)
+    else:
+        raise NotImplementedError(cfg.optim)
+    chain = []
+    if cfg.clip_grad_norm and cfg.clip_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    chain.append(inner)
+    return optax.chain(*chain)
+
+
+def current_lr(cfg: OptimConfig, step: int, total_steps: int) -> float:
+    """Host-side LR readout for logging (group 0 = clip_decay,
+    main.py:351-352)."""
+    if cfg.optim == "BertAdam":
+        sched = BERT_SCHEDULES[cfg.schedule]
+        return float(cfg.lr * cfg.coef_lr
+                     * sched(jnp.asarray(step / max(total_steps, 1)),
+                             cfg.warmup_proportion))
+    return float(make_lr_schedule(cfg, total_steps)(step) * cfg.coef_lr)

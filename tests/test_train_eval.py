@@ -1,0 +1,166 @@
+# coding=utf-8
+"""End-to-end training + evaluation on a tiny model over the simulated
+8-device CPU mesh: loss decreases, logit_scale stays clamped, checkpoints
+roundtrip, and the two-phase eval produces the multi-sentence protocol."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from centerclip_tpu import config as cfg_mod
+from centerclip_tpu.config import make_run_config
+from centerclip_tpu.models.clip4clip import CLIP4Clip
+from centerclip_tpu.train.loop import (LOGIT_SCALE_MAX, LOGIT_SCALE_MIN,
+                                       Trainer)
+from centerclip_tpu.train.evaluate import Evaluator
+from centerclip_tpu.train import state as state_mod
+
+WIDTH, LAYERS, HEADS, EMBED = 32, 2, 2, 16
+PATCH, RES, VOCAB, CTX = 8, 16, 64, 8
+T = 4  # frames
+
+cfg_mod.CLIP_ARCHS["tiny-train"] = dict(
+    embed_dim=EMBED, image_resolution=RES, vision_layers=LAYERS,
+    vision_width=WIDTH, vision_patch_size=PATCH, vision_heads=HEADS,
+    context_length=CTX, vocab_size=VOCAB, transformer_width=WIDTH,
+    transformer_heads=HEADS, transformer_layers=LAYERS)
+
+
+def tiny_cfg(**over):
+    base = dict(clip_name="tiny-train", max_frames=T, max_words=CTX,
+                compute_dtype="float32",
+                inter=True, algo="kmediods++",
+                cluster_num_blocks=(3,) * LAYERS,
+                target_frames_blocks=(T,) + (T // 2,) * (LAYERS - 1),
+                optim="BertAdam", lr=1e-3, coef_lr=1.0, weight_decay=0.01,
+                epochs=1, batch_size=16)
+    base.update(over)
+    return make_run_config(**base)
+
+
+def make_batch(rng, n):
+    ids = rng.integers(1, VOCAB - 2, size=(n, CTX)).astype(np.int32)
+    ids[:, 0] = VOCAB - 2
+    ids[:, -1] = VOCAB - 1
+    return {
+        "input_ids": ids,
+        "attention_mask": np.ones((n, CTX), np.int32),
+        "video": rng.normal(size=(n, 1, T, 3, RES, RES)).astype(np.float32),
+        "video_mask": np.ones((n, T), np.int32),
+    }
+
+
+@pytest.mark.parametrize("optim", ["BertAdam", "AdamW"])
+def test_training_reduces_loss(optim, rng):
+    run = tiny_cfg(optim=optim)
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 16)
+    init_rng = jax.random.PRNGKey(0)
+    params = model.init(init_rng, input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"])["params"]
+    trainer = Trainer(run, model, params, total_steps=20)
+    assert len(trainer.mesh.devices.ravel()) == 8
+
+    losses = []
+    for epoch in range(4):
+        loss, gstep = trainer.train_epoch(
+            epoch, [make_batch(np.random.default_rng(s), 16)
+                    for s in range(3)],
+            jax.random.PRNGKey(epoch), n_display=1000)
+        losses.append(loss)
+    assert losses[-1] < losses[0], losses
+    scale = float(jax.device_get(
+        trainer.state.params["clip"]["logit_scale"]))
+    assert LOGIT_SCALE_MIN <= scale <= LOGIT_SCALE_MAX
+    assert gstep == 12
+
+
+def test_grad_accumulation(rng):
+    run = tiny_cfg(gradient_accumulation_steps=2)
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"])["params"]
+    trainer = Trainer(run, model, params, total_steps=10)
+    loss, gstep = trainer.train_epoch(
+        0, [make_batch(np.random.default_rng(s), 8) for s in range(4)],
+        jax.random.PRNGKey(0), n_display=1000)
+    assert gstep == 2  # 4 micro-batches / accum 2
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    run = tiny_cfg()
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"])["params"]
+    trainer = Trainer(run, model, params, total_steps=10)
+    trainer.train_epoch(0, [batch], jax.random.PRNGKey(0), n_display=1000)
+    path = state_mod.save_checkpoint(str(tmp_path), trainer.state, epoch=0,
+                                     best_r1=12.5, is_best=True)
+    state2, epoch, best = state_mod.resume(path, trainer.state)
+    assert epoch == 0 and best == 12.5
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert os.path.exists(os.path.join(tmp_path, "ckpt_best"))
+
+    # torch-schema export/import roundtrip
+    tpath = str(tmp_path / "ckpt.pth.tar")
+    state_mod.export_torch_checkpoint(trainer.state.params, run.model, tpath,
+                                      epoch=1, global_step=3)
+    params2, report = state_mod.import_torch_checkpoint(
+        tpath, run.model, init_params=jax.device_get(trainer.state.params))
+    assert not report["missing"]
+    np.testing.assert_allclose(
+        np.asarray(params2["clip"]["visual"]["proj"]),
+        np.asarray(jax.device_get(
+            trainer.state.params["clip"]["visual"]["proj"])), rtol=1e-6)
+
+
+def test_eval_pipeline(rng):
+    run = tiny_cfg()
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"])["params"]
+    ev = Evaluator(model, params)
+    batches = [make_batch(np.random.default_rng(s), 8) for s in range(2)]
+    batches.append(make_batch(np.random.default_rng(9), 5))  # ragged tail
+    res = ev.evaluate(batches)
+    assert res["sim_matrix"].shape == (21, 21)
+    assert 0.0 <= res["R1"] <= 100.0
+    assert res["t2v"]["R10"] >= res["t2v"]["R1"]
+
+
+def test_eval_multi_sentence(rng):
+    """MSVD-style: 21 captions over 6 videos (cut-offs at 1-based ends)."""
+    run = tiny_cfg()
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"])["params"]
+    ev = Evaluator(model, params)
+    cut_offs = [3, 7, 10, 14, 18, 21]
+    batches = [make_batch(np.random.default_rng(s), 8) for s in range(2)]
+    batches.append(make_batch(np.random.default_rng(9), 5))
+    res = ev.evaluate(batches, multi_sentence=True, cut_off_points=cut_offs)
+    assert res["sim_matrix"].shape == (21, 6)
+    assert 0.0 <= res["R1"] <= 100.0
