@@ -223,6 +223,7 @@ class DataConfig:
     eval_frame_order: int = 0                 # --eval_frame_order
     expand_msrvtt_sentences: bool = False     # --expand_msrvtt_sentences
     image_resolution: int = 224
+    video_suffix: str = ".mp4"                # .mp4 | .npy | framestore keys
 
 
 @dataclass(frozen=True)

@@ -20,7 +20,8 @@ def _common_kwargs(cfg: RunConfig) -> dict:
     d = cfg.data
     return dict(max_words=d.max_words, max_frames=d.max_frames,
                 image_resolution=d.image_resolution,
-                lmdb_dataset=d.lmdb_dataset, seed=cfg.seed)
+                lmdb_dataset=d.lmdb_dataset, seed=cfg.seed,
+                video_suffix=d.video_suffix)
 
 
 def _train_loader(cfg: RunConfig, dataset):

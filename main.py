@@ -1,0 +1,151 @@
+# coding=utf-8
+"""Entry point: train / evaluate CenterCLIP-TPU
+(reference: main.py:31-288 `main` + `main_worker`).
+
+Single-controller JAX replaces the reference's mp.spawn-per-GPU: one process
+per host drives every local chip through the data mesh.  Multi-host runs call
+`jax.distributed.initialize()` (controlled by JAX_COORDINATOR_ADDRESS etc.)
+before anything touches devices.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from centerclip_tpu.cli import parse_args
+    cfg = parse_args(argv)
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+        jax.distributed.initialize()
+    import jax
+
+    from centerclip_tpu.config import save_hparams
+    from centerclip_tpu.data.registry import DATALOADER_DICT
+    from centerclip_tpu.models.clip4clip import CLIP4Clip
+    from centerclip_tpu.models.tokenizer import SimpleTokenizer
+    from centerclip_tpu.train import state as state_mod
+    from centerclip_tpu.train.evaluate import Evaluator
+    from centerclip_tpu.train.loop import Trainer
+    from centerclip_tpu.utils.logging import MetricWriter, setup_logging
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    setup_logging(os.path.join(cfg.output_dir, "log.txt"),
+                  level=logging.INFO, process_index=jax.process_index())
+    logger = logging.getLogger("main")
+    save_hparams(cfg.output_dir, cfg)
+    logger.info("devices: %s, processes: %d", jax.device_count(),
+                jax.process_count())
+
+    tokenizer = SimpleTokenizer()
+    model = CLIP4Clip(cfg.model)
+
+    # ---- dataloaders (main.py:134-153: val falls back to test and
+    # vice-versa per registry slots)
+    assert cfg.data.datatype in DATALOADER_DICT, cfg.data.datatype
+    slots = DATALOADER_DICT[cfg.data.datatype]
+    test_fn = slots["test"] if slots["test"] is not None else slots["val"]
+    test_loader, test_len = test_fn(cfg, tokenizer)
+    logger.info("eval samples: %d", test_len)
+
+    # ---- model init: fresh params, then pretrained CLIP weights when the
+    # OpenAI archive is present (clip4clip.py:28-124)
+    d = cfg.data
+    T, W, R = d.max_frames, d.max_words, d.image_resolution
+    dummy = dict(
+        input_ids=np.zeros((2, W), np.int32),
+        attention_mask=np.ones((2, W), np.int32),
+        video=np.zeros((2, 1, T, 3, R, R), np.float32),
+        video_mask=np.ones((2, T), np.int32))
+    params = model.init(jax.random.PRNGKey(cfg.seed), **dummy)["params"]
+
+    pt_name = {"ViT-B/32": "ViT-B-32.pt", "ViT-B/16": "ViT-B-16.pt"}.get(
+        cfg.model.clip_name)
+    pretrained = os.path.join(cfg.pretrained_dir, pt_name or "")
+    if cfg.init_model:
+        params, report = state_mod.import_torch_checkpoint(
+            cfg.init_model, cfg.model, init_params=params)
+        logger.info("init_model loaded; missing=%d unexpected=%d",
+                    len(report["missing"]), len(report["unexpected"]))
+    elif pt_name and os.path.exists(pretrained):
+        params, report = state_mod.init_from_pretrained_clip(
+            pretrained, cfg.model, params,
+            temperature_new=cfg.model.temperature_new)
+        logger.info("pretrained CLIP loaded from %s; missing=%d",
+                    pretrained, len(report["missing"]))
+    else:
+        logger.warning("no pretrained CLIP found at %s - training from "
+                       "scratch", pretrained)
+
+    evaluator_of = lambda p: Evaluator(model, p)
+    multi_sentence = bool(getattr(test_loader.dataset,
+                                  "multi_sentence_per_video", False))
+    cut_offs = list(getattr(test_loader.dataset, "cut_off_points", []))
+
+    # ---- eval-only path (main.py:232-239)
+    if cfg.do_eval and not cfg.do_train:
+        res = evaluator_of(params).evaluate(
+            test_loader, multi_sentence=multi_sentence,
+            cut_off_points=cut_offs,
+            inference_speed_test=cfg.inference_speed_test)
+        logger.info("eval R@1: %.2f", res["R1"])
+        return res
+
+    # ---- training path (main.py:244-288)
+    train_loader, n_train, sampler = slots["train"](cfg, tokenizer)
+    steps_per_epoch = len(train_loader) \
+        // cfg.optim.gradient_accumulation_steps
+    total_steps = steps_per_epoch * cfg.epochs
+    logger.info("train samples: %d, steps/epoch: %d, total steps: %d",
+                n_train, steps_per_epoch, total_steps)
+
+    trainer = Trainer(cfg, model, params, total_steps=total_steps)
+    trainer.metric_writer = MetricWriter(
+        os.path.join(cfg.output_dir, "tensorboard"))
+
+    start_epoch, best_r1, best_epoch = 0, 0.0, -1
+    if cfg.resume:
+        trainer.state, start_epoch, best_r1 = state_mod.resume(
+            cfg.resume, trainer.state,
+            load_weights_only=cfg.load_from_pretrained)
+        logger.info("resumed from %s at epoch %d (best R@1 %.2f)",
+                    cfg.resume, start_epoch, best_r1)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    for epoch in range(start_epoch, cfg.epochs):
+        sampler.set_epoch(epoch)
+        t0 = time.time()
+        loss, gstep = trainer.train_epoch(
+            epoch, train_loader, jax.random.fold_in(rng, epoch),
+            n_display=cfg.n_display)
+        logger.info("Epoch %d/%d done in %.1fs, mean loss %.4f", epoch + 1,
+                    cfg.epochs, time.time() - t0, loss)
+        r1 = 0.0
+        if cfg.do_eval or True:  # reference evaluates every epoch on rank 0
+            if jax.process_index() == 0:
+                res = evaluator_of(trainer.state.params).evaluate(
+                    test_loader, multi_sentence=multi_sentence,
+                    cut_off_points=cut_offs)
+                r1 = res["R1"]
+        is_best = r1 > best_r1
+        if is_best:
+            best_r1, best_epoch = r1, epoch
+        if jax.process_index() == 0:
+            state_mod.save_checkpoint(cfg.output_dir, trainer.state, epoch,
+                                      best_r1, is_best=is_best)
+            state_mod.export_torch_checkpoint(
+                trainer.state.params, cfg.model,
+                os.path.join(cfg.output_dir, "ckpt.pth.tar"), epoch=epoch,
+                global_step=gstep, best_r1=best_r1)
+    logger.info("The best R1 is: %.4f, best_epoch=%d", best_r1, best_epoch)
+    return best_r1
+
+
+if __name__ == "__main__":
+    main()
