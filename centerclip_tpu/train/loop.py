@@ -119,7 +119,9 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh if mesh is not None else create_mesh(cfg.data_parallel)
-        self.tx = build_optimizer(cfg.optim, params, total_steps)
+        self.tx = build_optimizer(cfg.optim, params, total_steps,
+                                  freeze_layer_num=cfg.freeze_layer_num,
+                                  freeze_clip=cfg.freeze_clip)
         params = replicate(self.mesh, params)
         self.state = TrainState.create(params, self.tx)
         self.total_steps = total_steps

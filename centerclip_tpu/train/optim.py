@@ -228,11 +228,73 @@ def adamw_grouped(cfg: OptimConfig, total_steps: int,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def build_optimizer(cfg: OptimConfig, params, total_steps: int
+def trainable_mask(params, freeze_layer_num: int = -1,
+                   freeze_clip: bool = False):
+    """Boolean pytree: True = trainable.
+
+    Replicates `freeze_cip_layers` (reference: clip4clip.py:449-471): with
+    freeze_layer_num in [0, 12], CLIP params are frozen EXCEPT (a) the top
+    layers (ln_final, text_projection, logit_scale, visual.ln_post,
+    visual.proj), (b) transformer blocks with index >= freeze_layer_num
+    (cluster/deepcluster modules follow their block index), and (c) the 3D
+    patch conv2.  freeze_layer_num = -1 disables freezing.  `freeze_clip`
+    freezes the whole CLIP tower except `new_added_modules` (the intent of
+    the reference's commented train() override, clip4clip.py:473-493).
+    Everything outside the clip subtree always trains.
+    """
+    import re as _re
+
+    def leaf_mask(path, _):
+        names = _path_names(path)
+        if names[0] != "clip":
+            return True
+        sub = names[1:]
+        if freeze_clip:
+            return any(any(nd in n for nd in NEW_ADDED_MODULES)
+                       for n in names)
+        if freeze_layer_num <= -1:
+            return True
+        # top layers always train
+        if sub[:2] in (["text", "ln_final"], ["text", "text_projection"],
+                       ["visual", "ln_post"], ["visual", "proj"]) \
+                or sub[:1] == ["logit_scale"]:
+            return True
+        if len(sub) >= 2 and sub[1] == "conv2":
+            return True
+        m = _re.match(r"(?:resblocks|cluster|cluster_post|deepcluster)_(\d+)$",
+                      sub[1] if len(sub) >= 2 else "")
+        if m:
+            return int(m.group(1)) >= freeze_layer_num
+        return False
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: leaf_mask(p, v), params)
+
+
+def freeze_grads(mask) -> optax.GradientTransformation:
+    """Zero gradients of frozen params BEFORE clipping/optimizer, matching
+    torch requires_grad=False semantics (frozen params contribute nothing to
+    the global grad norm and accumulate no optimizer state updates)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(grads, state, params=None):
+        del params
+        out = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+        return out, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(cfg: OptimConfig, params, total_steps: int,
+                    freeze_layer_num: int = -1, freeze_clip: bool = False
                     ) -> optax.GradientTransformation:
-    """Assemble the configured optimizer with global-norm clipping first
-    (reference: main.py:323-334 applies clip_grad_norm_ to all params for
-    both optimizers)."""
+    """Assemble the configured optimizer: freeze mask, then global-norm
+    clipping (reference: main.py:323-334 applies clip_grad_norm_ to all
+    params for both optimizers), then the update rule."""
     labels = group_labels(params)
     if cfg.optim == "BertAdam":
         inner = bert_adam(cfg, total_steps, labels)
@@ -241,9 +303,17 @@ def build_optimizer(cfg: OptimConfig, params, total_steps: int
     else:
         raise NotImplementedError(cfg.optim)
     chain = []
+    mask = None
+    if freeze_clip or freeze_layer_num > -1:
+        mask = trainable_mask(params, freeze_layer_num, freeze_clip)
+        chain.append(freeze_grads(mask))
     if cfg.clip_grad_norm and cfg.clip_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
     chain.append(inner)
+    if mask is not None:
+        # zero the FINAL updates too: weight decay inside the update rule
+        # must not move frozen params (torch skips them entirely)
+        chain.append(freeze_grads(mask))
     return optax.chain(*chain)
 
 

@@ -21,6 +21,10 @@ def main(argv=None):
     from centerclip_tpu.cli import parse_args
     cfg = parse_args(argv)
 
+    # persistent XLA compilation cache: first-compile of the full train step
+    # is minutes; subsequent runs hit the cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax
         jax.distributed.initialize()
