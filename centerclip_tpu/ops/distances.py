@@ -39,7 +39,11 @@ def squared_l2_distance(x: jax.Array, y: jax.Array) -> jax.Array:
     y = y.astype(jnp.float32)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)            # [..., N, 1]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)            # [..., M, 1]
+    # HIGHEST precision: on TPU the default matmul rounds inputs to bf16,
+    # which perturbs distances by ~0.4% — enough to flip argmin decisions
+    # in the clustering (the torch reference computes cdist in full fp32)
     xy = jnp.matmul(x, jnp.swapaxes(y, -1, -2),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)     # [..., N, M]
     d2 = x2 - 2.0 * xy + jnp.swapaxes(y2, -1, -2)
     return jnp.maximum(d2, 0.0)
@@ -67,6 +71,7 @@ def cosine_distance(x: jax.Array, y: jax.Array, eps: float = 1e-6) -> jax.Array:
     xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
     yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + eps)
     sim = jnp.matmul(xn, jnp.swapaxes(yn, -1, -2),
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     return 1.0 - sim
 
@@ -91,7 +96,14 @@ def pairwise_distance(x: jax.Array, y: jax.Array, metric: str = "euclidean",
         raise NotImplementedError(f"{metric} metric is not implemented")
 
     if all_negative:
-        dis = dis - jnp.max(dis) - 1.0
+        # Deviation from the reference (cluster_utils.py:35-36), which
+        # subtracts the max over the WHOLE batch chunk: we shift per sample.
+        # The offset is algebraically irrelevant (every argmin/argmax the
+        # clustering performs is invariant to a constant shift within a
+        # sample), but a batch-global offset couples a sample's floating-
+        # point rounding to unrelated samples in the batch — per-sample
+        # offsets make results independent of batch composition.
+        dis = dis - jnp.max(dis, axis=(-2, -1), keepdims=True) - 1.0
     if self_nearest:
         n = dis.shape[-1]
         eye = jnp.eye(n, dtype=dis.dtype)

@@ -87,8 +87,10 @@ def _update_step(D: jax.Array, assign: jax.Array, K: int) -> jax.Array:
     Requires D to be the all-negative shifted matrix.
     """
     onehot = jax.nn.one_hot(assign, K, dtype=jnp.float32)      # [B, N, K]
-    # within[b, n, k] = sum over cluster-k members m of D[b, n, m]
-    within = jnp.matmul(D, onehot, preferred_element_type=jnp.float32)
+    # within[b, n, k] = sum over cluster-k members m of D[b, n, m];
+    # HIGHEST precision so TPU does not round D to bf16 before summing
+    within = jnp.matmul(D, onehot, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
     scores = within * onehot                                   # zero non-members
     return jnp.argmin(scores, axis=1).astype(jnp.int32)        # [B, K]
 
