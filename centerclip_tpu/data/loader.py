@@ -88,6 +88,12 @@ class BatchLoader:
             yield chunk
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.dataset, "get_batch"):
+            # batched fast path (FrameStoreClipDataset): whole-batch native
+            # gather, no per-sample Python work
+            for chunk in self._batches_of_indices():
+                yield self.dataset.get_batch(chunk)
+            return
         if self.num_threads <= 0:
             for chunk in self._batches_of_indices():
                 yield collate([self.dataset[int(i)] for i in chunk])
