@@ -74,6 +74,28 @@ def kkz_init(X: jax.Array, D: jax.Array, K: int) -> jax.Array:
     return meds
 
 
+def kmeans_plusplus_init(distance_matrix: jax.Array, K: int,
+                         rng: jax.Array) -> jax.Array:
+    """k-means++ style seeding with deterministic farthest-point step 3
+    (reference: cluster_utils.py:46-74 — unused at runtime, provided for
+    surface parity): first medoid uniform-random, then repeatedly the point
+    farthest from the chosen set."""
+    N = distance_matrix.shape[-1]
+    first = jax.random.randint(rng, (), 0, N).astype(jnp.int32)
+    meds0 = jnp.zeros((K,), jnp.int32).at[0].set(first)
+    mindist0 = distance_matrix[first, :]
+
+    def body(i, carry):
+        meds, mindist = carry
+        nxt = jnp.argmax(mindist).astype(jnp.int32)
+        meds = meds.at[i].set(nxt)
+        mindist = jnp.minimum(mindist, distance_matrix[nxt, :])
+        return meds, mindist
+
+    meds, _ = jax.lax.fori_loop(1, K, body, (meds0, mindist0))
+    return meds
+
+
 def _assign_step(D: jax.Array, meds: jax.Array) -> jax.Array:
     """Assign each point to its nearest medoid (fast_kmeans.py:75-76)."""
     sub = _take_rows(D, meds)                                  # [B, K, N]

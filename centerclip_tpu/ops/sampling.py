@@ -45,6 +45,31 @@ def multi_segments_sampling(clip_length: int, num_frames: int,
     return np.asarray(offsets, np.int64)
 
 
+def token_sparse_sampling(target: int, total: int, random_shift: bool = True,
+                          rng: Optional[np.random.Generator] = None
+                          ) -> np.ndarray:
+    """Randomly / uniformly sample `target` token indices from `total`
+    (reference: cluster_utils.py:136-174)."""
+    rng = rng or np.random.default_rng()
+    if random_shift:
+        average_duration = total // target
+        if average_duration > 0:
+            offsets = (np.arange(target) * average_duration
+                       + rng.integers(0, average_duration, size=target))
+        elif total > target:
+            offsets = np.sort(rng.choice(total, target, replace=False))
+        else:
+            offsets = np.clip(np.arange(target), 0, total)
+    else:
+        if total > target:
+            tick = total / float(target)
+            offsets = np.array([int(tick / 2.0 + tick * x)
+                                for x in range(target)])
+        else:
+            offsets = np.clip(np.arange(target), 0, total)
+    return np.asarray(offsets, np.int64)
+
+
 def uniform_sampling(clip_length: int, num_frames: int, data_length: int = 1,
                      twice_sample: bool = False) -> np.ndarray:
     """Segment-center sampling for eval (reference: sampling.py:54-81)."""
