@@ -20,6 +20,10 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--do_train", type=int, default=1)
     p.add_argument("--do_eval", type=int, default=0)
     p.add_argument("--inference_speed_test", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a JAX/XLA profiler trace of the first "
+                        "training steps into this directory")
+    p.add_argument("--profile_steps", type=int, default=5)
     p.add_argument("--debug", default=False, action="store_true")
     # datasets
     p.add_argument("--data_dir", type=str, default="")
@@ -126,6 +130,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         batch_size_val=args.batch_size_val, seed=args.seed,
         n_display=args.n_display, freeze_layer_num=args.freeze_layer_num,
         freeze_clip=bool(args.freeze_clip), precision=precision,
+        profile_dir=args.profile_dir, profile_steps=args.profile_steps,
         data_parallel=args.data_parallel,
         # model
         clip_name=args.pretrained_clip_name, sim_header=args.sim_header,

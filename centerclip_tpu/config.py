@@ -264,6 +264,8 @@ class RunConfig:
     freeze_layer_num: int = 0
     freeze_clip: bool = False
     precision: str = "bf16"                   # amp|fp16|fp32 -> bf16|fp32 on TPU
+    profile_dir: Optional[str] = None         # --profile_dir (XLA trace)
+    profile_steps: int = 5
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -36,7 +36,8 @@ class FrameStoreClipDataset:
                  tokenizer: SimpleTokenizer, max_words: int = 32,
                  max_frames: int = 12, image_resolution: int = 224,
                  is_train: bool = True, num_threads: int = 4,
-                 seed: int = 42):
+                 seed: int = 42, device_normalize: bool = False):
+        self.device_normalize = device_normalize
         self.store = NativeFrameStore(store_path, num_threads=num_threads)
         self.pairs = list(pairs)
         self.tokenizer = tokenizer
@@ -73,8 +74,13 @@ class FrameStoreClipDataset:
             nf = int(self._num_frames[j])
             frame_idx[i] = self._sample_indices(nf)
             vmask[i, : min(nf, T)] = 1
-        video = self.store.gather_batch(self._entry_ids[idx], frame_idx,
-                                        size=self.size)
+        if self.device_normalize:
+            # raw uint8 pixels; the model normalizes on-device
+            video = self.store.gather_batch_u8(self._entry_ids[idx],
+                                               frame_idx, size=self.size)
+        else:
+            video = self.store.gather_batch(self._entry_ids[idx], frame_idx,
+                                            size=self.size)
         return {
             "input_ids": self._ids[idx],
             "attention_mask": self._mask[idx],

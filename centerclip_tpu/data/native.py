@@ -59,6 +59,15 @@ def _load_library(build_if_missing: bool = True):
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_int,
     ]
+    lib.fs_gather_batch_u8.restype = ctypes.c_int
+    lib.fs_gather_batch_u8.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+    ]
     _LIB = lib
     return lib
 
@@ -126,6 +135,23 @@ class NativeFrameStore:
             out, self.num_threads)
         if rc != 0:
             raise RuntimeError(f"fs_gather_batch failed with code {rc}")
+        return out
+
+    def gather_batch_u8(self, entry_ids: Sequence[int],
+                        frame_indices: np.ndarray, size: int = 224,
+                        out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Crop-only uint8 gather: [B, T, 3, size, size] uint8, zero-padded.
+        Pair with the model's on-device normalization (uint8 inputs) to ship
+        4x fewer bytes to the accelerator."""
+        eids = np.ascontiguousarray(entry_ids, np.int64)
+        idx = np.ascontiguousarray(frame_indices, np.int64)
+        B, T = idx.shape
+        if out is None:
+            out = np.empty((B, T, 3, size, size), np.uint8)
+        rc = self._lib.fs_gather_batch_u8(self._h, eids, idx, B, T, size,
+                                          out, self.num_threads)
+        if rc != 0:
+            raise RuntimeError(f"fs_gather_batch_u8 failed with code {rc}")
         return out
 
     def close(self):

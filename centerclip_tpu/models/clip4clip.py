@@ -36,7 +36,10 @@ class CLIP4Clip(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.clip = CLIP(cfg)
-        width = cfg.arch["transformer_width"]
+        # the seqTransf/cross headers run on the embed_dim-sized pooled
+        # features; in real CLIP archs embed_dim == transformer_width == 512
+        # (the reference uses cross_config.hidden_size, clip4clip.py:186-192)
+        width = cfg.arch["embed_dim"]
         ctx = cfg.arch["context_length"]
         if cfg.sim_header in ("seqLSTM", "seqTransf"):
             # frame-position embedding table (clip4clip.py:186-187); seeded
@@ -70,11 +73,19 @@ class CLIP4Clip(nn.Module):
                           rng: Optional[jax.Array] = None
                           ) -> Tuple[jax.Array, jax.Array]:
         """video: [B, 1, T, C, H, W] or [B*T, C, H, W] -> ([B, T_final, D]
-        fp32, cluster_loss) (clip4clip.py:222-243,274-281)."""
+        fp32, cluster_loss) (clip4clip.py:222-243,274-281).
+
+        uint8 inputs are normalised on-device (the host ships raw cropped
+        pixels — 4x less host->device traffic than float32 frames)."""
         B = video_mask.shape[0]
         if video.ndim == 6:
             _, _, _, C, H, W = video.shape
             video = video.reshape(-1, C, H, W)
+        if video.dtype == jnp.uint8:
+            from ..data.transforms import CLIP_MEAN, CLIP_STD
+            mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+            std = jnp.asarray(CLIP_STD, jnp.float32).reshape(1, 3, 1, 1)
+            video = (video.astype(jnp.float32) / 255.0 - mean) / std
         feats, cluster_loss = self.clip.encode_image(
             video, deterministic=deterministic, rng=rng)
         return feats.reshape(B, -1, feats.shape[-1]).astype(jnp.float32), \

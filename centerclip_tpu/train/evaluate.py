@@ -39,10 +39,19 @@ def _pad_to(x: np.ndarray, n: int) -> Tuple[np.ndarray, int]:
 
 
 class Evaluator:
-    """Stateless two-phase evaluator."""
+    """Stateless two-phase evaluator.
 
-    def __init__(self, model: CLIP4Clip, params):
+    With a mesh, phase-1 encoding shards every (padded) batch over the data
+    axis — the multi-chip analogue of the reference's rank-0-only eval loop
+    (main.py:232-239) without leaving chips idle.
+    """
+
+    def __init__(self, model: CLIP4Clip, params, mesh=None):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            params = replicate(mesh, params)
         self.variables = {"params": params}
         self._encode_text = jax.jit(functools.partial(
             self._encode_text_impl, model))
@@ -50,6 +59,19 @@ class Evaluator:
             self._encode_video_impl, model))
         self._sim_block = jax.jit(functools.partial(
             self._sim_block_impl, model))
+
+    def _device_put(self, *arrays):
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from ..parallel.mesh import shard_batch
+        out = tuple(shard_batch(self.mesh, a) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+    def _pad_target(self, batch_size: int) -> int:
+        if self.mesh is None:
+            return batch_size
+        n = len(self.mesh.devices.ravel())
+        return (batch_size + n - 1) // n * n
 
     # --- jitted kernels -----------------------------------------------------
     @staticmethod
@@ -94,9 +116,10 @@ class Evaluator:
         for batch in batches:
             ids = np.asarray(batch["input_ids"])
             if batch_size is None:
-                batch_size = ids.shape[0]
+                batch_size = self._pad_target(ids.shape[0])
             ids_p, valid = _pad_to(ids, batch_size)
-            seq = np.asarray(self._encode_text(self.variables, ids_p))[:valid]
+            seq = np.asarray(self._encode_text(
+                self.variables, self._device_put(ids_p)))[:valid]
             seq_list.append(seq)
 
             video = np.asarray(batch["video"])
@@ -111,6 +134,7 @@ class Evaluator:
                 video, vmask = video[filt], vmask[filt]
             video_p, vvalid = _pad_to(video, batch_size)
             vmask_p, _ = _pad_to(vmask, batch_size)
+            video_p, vmask_p = self._device_put(video_p, vmask_p)
             vis, vmask_after = self._encode_video(self.variables, video_p,
                                                   vmask_p)
             vis_list.append(np.asarray(vis)[:vvalid])

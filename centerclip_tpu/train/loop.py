@@ -135,8 +135,18 @@ class Trainer:
         total_loss, n = 0.0, 0
         micro = []
         end = time.time()
+        # optional XLA profiler trace of the first steps (the TPU-native
+        # upgrade of the reference's manual data_time/batch_time timers,
+        # main.py:299-343)
+        profiling = (epoch == 0 and self.cfg.profile_dir
+                     and jax.process_index() == 0)
+        if profiling:
+            jax.profiler.start_trace(self.cfg.profile_dir)
         with self.mesh:
             for step, host_batch in enumerate(batches):
+                if profiling and step == self.cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
                 batch = shard_batch(self.mesh, host_batch)
                 data_time = time.time() - end
                 if self.accum > 1:
@@ -176,5 +186,7 @@ class Trainer:
                              "train/batch_time": batch_time,
                              "train/scale": scale, "train/lr": lr},
                             step=gstep)
+        if profiling:
+            jax.profiler.stop_trace()
         return total_loss / max(n, 1), int(jax.device_get(
             self.state.global_step))

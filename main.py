@@ -67,7 +67,10 @@ def main(argv=None):
         attention_mask=np.ones((2, W), np.int32),
         video=np.zeros((2, 1, T, 3, R, R), np.float32),
         video_mask=np.ones((2, T), np.int32))
-    params = model.init(jax.random.PRNGKey(cfg.seed), **dummy)["params"]
+    # training=True so similarity-header submodules (seqTransf blocks, cross
+    # model) are materialised in the param tree
+    params = model.init(jax.random.PRNGKey(cfg.seed), **dummy,
+                        training=True)["params"]
 
     pt_name = {"ViT-B/32": "ViT-B-32.pt", "ViT-B/16": "ViT-B-16.pt"}.get(
         cfg.model.clip_name)

@@ -204,4 +204,65 @@ int fs_gather_batch(void* handle, const int64_t* entry_ids,
   return err.load();
 }
 
+// uint8 crop-only gather: out [B, T, 3, size, size] uint8 (CHW), zero pad.
+// Pairs with on-device normalization (models/clip4clip.py uint8 path) —
+// ships 4x fewer bytes to the accelerator than the float path.
+int fs_gather_batch_u8(void* handle, const int64_t* entry_ids,
+                       const int64_t* frame_indices, int64_t B, int64_t T,
+                       int64_t size, uint8_t* out, int num_threads) {
+  auto* s = static_cast<Store*>(handle);
+  const int64_t frame_elems = 3 * size * size;
+  const int64_t sample_elems = T * frame_elems;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+
+  auto worker = [&]() {
+    while (true) {
+      int64_t b = next.fetch_add(1);
+      if (b >= B) return;
+      int64_t eid = entry_ids[b];
+      if (eid < 0 || eid >= (int64_t)s->entries.size()) { err = 1; return; }
+      const Entry& e = s->entries[eid];
+      if (e.c != 3) { err = 2; return; }
+      const int64_t H = e.h, W = e.w;
+      const int64_t top = (H - size) / 2;
+      const int64_t left = (W - size) / 2;
+      for (int64_t t = 0; t < T; ++t) {
+        int64_t fi = frame_indices[b * T + t];
+        if (fi < 0) fi = 0;
+        if (fi >= (int64_t)e.t) fi = e.t - 1;
+        const uint8_t* frame = s->base + e.offset + (uint64_t)fi * H * W * 3;
+        uint8_t* dst = out + b * sample_elems + t * frame_elems;
+        for (int64_t y = 0; y < size; ++y) {
+          const int64_t sy = top + y;
+          const bool row_ok = sy >= 0 && sy < H;
+          for (int c = 0; c < 3; ++c) {
+            uint8_t* drow = dst + (int64_t)c * size * size + y * size;
+            if (!row_ok) {
+              std::memset(drow, 0, size);
+              continue;
+            }
+            const uint8_t* srow = frame + sy * W * 3;
+            for (int64_t x = 0; x < size; ++x) {
+              const int64_t sx = left + x;
+              drow[x] = (sx < 0 || sx >= W) ? 0 : srow[sx * 3 + c];
+            }
+          }
+        }
+      }
+    }
+  };
+
+  int nt = num_threads > 0 ? num_threads : 1;
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return err.load();
+}
+
 }  // extern "C"

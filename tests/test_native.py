@@ -85,3 +85,21 @@ def test_fast_dataset_and_loader(store):
     # per-sample protocol agrees with the batch protocol
     s = ds[1]
     np.testing.assert_array_equal(s["input_ids"], b["input_ids"][1])
+
+
+def test_u8_gather_plus_device_normalize(store):
+    """uint8 crop-only gather + on-device normalization == float path."""
+    import jax.numpy as jnp
+    from centerclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    path, vids = store
+    ns = NativeFrameStore(path)
+    keys = ["vid0", "vid2"]
+    T, size = 3, 56
+    fidx = np.array([[0, 2, 4], [1, 3, 5]])
+    eids = [ns.entry_id(k) for k in keys]
+    f32 = ns.gather_batch(eids, fidx, size=size)
+    u8 = ns.gather_batch_u8(eids, fidx, size=size)
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 1, 3, 1, 1)
+    normed = (u8.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(normed, f32, rtol=1e-5, atol=1e-5)

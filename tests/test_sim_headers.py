@@ -1,0 +1,72 @@
+# coding=utf-8
+"""Similarity headers: seqTransf and tightTransf train end-to-end; seqLSTM
+raises like the reference; sharded eval matches single-device eval."""
+import numpy as np
+import pytest
+import jax
+
+from tests.test_train_eval import tiny_cfg, make_batch
+from centerclip_tpu.models.clip4clip import CLIP4Clip
+from centerclip_tpu.parallel.mesh import create_mesh
+from centerclip_tpu.train.evaluate import Evaluator
+from centerclip_tpu.train.loop import Trainer
+
+
+def _init(run, rng, n=8):
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, n)
+    # training=True so every similarity-header submodule is materialised
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"],
+                        training=True)["params"]
+    return model, params, batch
+
+
+def test_seq_transf_trains(rng):
+    run = tiny_cfg(sim_header="seqTransf")
+    model, params, batch = _init(run, rng)
+    # frame-position embeddings + transformerClip exist
+    assert "frame_position_embeddings" in params
+    assert "transformerClip_0" in params
+    trainer = Trainer(run, model, params, total_steps=10)
+    loss, gstep = trainer.train_epoch(0, [batch, batch],
+                                      jax.random.PRNGKey(0), n_display=1000)
+    assert np.isfinite(loss) and gstep == 2
+
+
+def test_tight_transf_trains(rng):
+    run = tiny_cfg(sim_header="tightTransf", loose_type=False)
+    model, params, batch = _init(run, rng, n=4)
+    assert "cross" in params and "similarity_dense" in params
+    trainer = Trainer(run, model, params, total_steps=10)
+    loss, gstep = trainer.train_epoch(0, [make_batch(rng, 8)],
+                                      jax.random.PRNGKey(0), n_display=1000)
+    assert np.isfinite(loss) and gstep == 1
+
+
+def test_seq_lstm_raises(rng):
+    # the reference rejects seqLSTM at the loose-type assert
+    # (clip4clip.py:423) before its own NotImplementedError at :332
+    run = tiny_cfg(sim_header="seqLSTM")
+    with pytest.raises((NotImplementedError, AssertionError)):
+        _init(run, rng)  # training=True init reaches the similarity head
+
+
+def test_sharded_eval_matches_single_device(rng):
+    # cluster_inter off: on random frames the k-medoids argmin decisions sit
+    # on fp ties, and different XLA shardings legitimately flip them; the
+    # sharding machinery itself (padding, ordering, gather) is what this
+    # test pins down
+    run = tiny_cfg(inter=False, cluster_num_blocks=(), target_frames_blocks=())
+    model, params, _ = _init(run, rng)
+    batches = [make_batch(np.random.default_rng(s), 8) for s in range(2)]
+    batches.append(make_batch(np.random.default_rng(7), 5))  # ragged tail
+    res_single = Evaluator(model, params).evaluate(batches)
+    mesh = create_mesh()
+    res_sharded = Evaluator(model, params, mesh=mesh).evaluate(batches)
+    np.testing.assert_allclose(res_sharded["sim_matrix"],
+                               res_single["sim_matrix"], rtol=2e-4, atol=2e-4)
+    assert res_sharded["t2v"]["R1"] == res_single["t2v"]["R1"]
