@@ -38,6 +38,19 @@ CLIP_ARCHS = {
                      vision_width=768, vision_patch_size=16, context_length=77,
                      vocab_size=49408, transformer_width=512,
                      transformer_heads=8, transformer_layers=12),
+    # ResNet variants: tuple vision_layers selects the ModifiedResNet tower.
+    # Support level mirrors the reference, whose weight loader rejects RN
+    # checkpoints (clip.py:650-653): buildable + inference, no cluster hooks.
+    "RN50": dict(embed_dim=1024, image_resolution=224,
+                 vision_layers=(3, 4, 6, 3), vision_width=64,
+                 vision_patch_size=None, context_length=77, vocab_size=49408,
+                 transformer_width=512, transformer_heads=8,
+                 transformer_layers=12),
+    "RN101": dict(embed_dim=512, image_resolution=224,
+                  vision_layers=(3, 4, 23, 3), vision_width=64,
+                  vision_patch_size=None, context_length=77, vocab_size=49408,
+                  transformer_width=512, transformer_heads=8,
+                  transformer_layers=12),
 }
 
 

@@ -158,7 +158,20 @@ class CLIP(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
-        self.visual = VisionTransformer(self.cfg)
+        arch = self.cfg.arch
+        if isinstance(arch["vision_layers"], (tuple, list)):
+            # ResNet tower (reference: clip.py:379-387); heads = width*32/64
+            from .resnet import ModifiedResNet
+            self.visual = ModifiedResNet(
+                layers=tuple(arch["vision_layers"]),
+                output_dim=arch["embed_dim"],
+                heads=arch["vision_width"] * 32 // 64,
+                input_resolution=arch["image_resolution"],
+                width=arch["vision_width"])
+            self._visual_is_resnet = True
+        else:
+            self.visual = VisionTransformer(self.cfg)
+            self._visual_is_resnet = False
         self.text = TextTransformer(self.cfg)
         self.logit_scale = self.param("logit_scale",
                                       lambda key: jnp.asarray(np.log(1 / 0.07),
@@ -184,6 +197,8 @@ class CLIP(nn.Module):
                      ) -> Tuple[jax.Array, jax.Array]:
         """[B*T, 3, H, W] -> ([B*T_final, embed_dim] CLS features fp32,
         cluster_loss)."""
+        if self._visual_is_resnet:
+            return self.visual(video).astype(jnp.float32), jnp.float32(0.0)
         hidden, cluster_loss = self.visual(video, deterministic=deterministic,
                                            rng=rng)
         return hidden[:, 0, :], cluster_loss

@@ -22,6 +22,7 @@ logic operates on plain numpy dicts.
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional, Tuple
 
@@ -315,3 +316,41 @@ def save_torch_state_dict(sd: StateDict, path: str) -> None:
     import torch
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
                path)
+
+
+# ---------------------------------------------------------------------------
+# pretrained-weight download with SHA256 verification
+# (reference: modules/clip.py:21-37,676-705)
+# ---------------------------------------------------------------------------
+CLIP_WEIGHT_URLS = {
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+}
+
+
+def download_clip_weights(name: str, root: str) -> str:
+    """Fetch + SHA256-verify an OpenAI CLIP archive (the URL path component
+    is the expected digest).  Requires network access; the loaders otherwise
+    read pre-placed local files like the reference (clip.py:644-658)."""
+    import hashlib
+    import urllib.request
+    url = CLIP_WEIGHT_URLS[name]
+    os.makedirs(root, exist_ok=True)
+    expected = url.split("/")[-2]
+    target = os.path.join(root, os.path.basename(url))
+    if os.path.isfile(target):
+        with open(target, "rb") as f:
+            if hashlib.sha256(f.read()).hexdigest() == expected:
+                return target
+    with urllib.request.urlopen(url) as src, open(target, "wb") as dst:
+        while True:
+            buf = src.read(1 << 20)
+            if not buf:
+                break
+            dst.write(buf)
+    with open(target, "rb") as f:
+        if hashlib.sha256(f.read()).hexdigest() != expected:
+            raise RuntimeError(f"SHA256 mismatch for {target}")
+    return target
