@@ -80,6 +80,9 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
                    default=os.path.expanduser("~/models/pretrained"))
     p.add_argument("--precision", type=str, default="amp",
                    choices=["amp", "fp16", "fp32", "bf16"])
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize transformer blocks on backward "
+                        "(activation-memory relief for long-video configs)")
     # parallelism (replaces --world_size/--local_rank/--init_method/--dp/...)
     p.add_argument("--data_parallel", type=int, default=0,
                    help="number of data-parallel devices; 0 = all")
@@ -138,6 +141,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         max_words=args.max_words, max_frames=args.max_frames,
         cross_num_hidden_layers=args.cross_num_hidden_layers,
         temperature_new=args.temperature_new,
+        remat=bool(args.remat),
         compute_dtype="bfloat16" if precision == "bf16" else "float32",
         # data
         datatype=args.datatype, data_dir=args.data_dir,

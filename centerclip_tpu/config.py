@@ -183,6 +183,11 @@ class ModelConfig:
     # compute dtype for the transformer towers; fp32 is forced for layer norm,
     # softmax, clustering and the similarity head regardless of this setting
     compute_dtype: str = "bfloat16"
+    # rematerialize transformer blocks on backward (jax.checkpoint): trades
+    # ~30% extra FLOPs for O(layers) -> O(1) activation memory — the TPU
+    # answer to the ActivityNet 60-75-frame OOM configs the reference handles
+    # with 8-32 GPUs (README.md:86, scripts/activitynet.sh:90)
+    remat: bool = False
 
     def __post_init__(self):
         assert self.clip_name in CLIP_ARCHS, f"unknown CLIP variant {self.clip_name}"

@@ -42,9 +42,12 @@ class TextTransformer(nn.Module):
         x = x + pos[: text.shape[1]].astype(dtype)
 
         mask = causal_mask(text.shape[1])
+        block_cls = ResidualAttentionBlock
+        if self.cfg.remat:
+            block_cls = nn.remat(ResidualAttentionBlock)
         for i in range(arch["transformer_layers"]):
-            x = ResidualAttentionBlock(width, arch["transformer_heads"],
-                                       dtype, name=f"resblocks_{i}")(x, mask)
+            x = block_cls(width, arch["transformer_heads"],
+                          dtype, name=f"resblocks_{i}")(x, mask)
         x = LayerNormF32(name="ln_final")(x).astype(jnp.float32)
         proj = self.param("text_projection",
                           nn.initializers.normal(width ** -0.5),
@@ -103,6 +106,9 @@ class VisionTransformer(nn.Module):
         plan = cfg.cluster_plan()
         dplan = deep_cluster_plan(cfg)
         cluster_loss = jnp.float32(0.0)
+        block_cls = ResidualAttentionBlock
+        if cfg.remat:
+            block_cls = nn.remat(ResidualAttentionBlock)
         for i in range(arch["vision_layers"]):
             spec = plan[i]
             dspec = dplan[i]
@@ -115,8 +121,8 @@ class VisionTransformer(nn.Module):
                 mod = TokenClusterInter(spec=spec, cfg=cfg.cluster,
                                         width=width, name=f"cluster_{i}")
                 x = mod(x, deterministic=deterministic, rng=rng)
-            x = ResidualAttentionBlock(width, vision_heads, dtype,
-                                       name=f"resblocks_{i}")(x)
+            x = block_cls(width, vision_heads, dtype,
+                          name=f"resblocks_{i}")(x)
             if spec is not None and spec.algo == "token_shift":
                 # token_shift runs again after attention (clip.py:247-248)
                 x = TokenClusterInter(spec=spec, cfg=cfg.cluster, width=width,

@@ -164,3 +164,20 @@ def test_eval_multi_sentence(rng):
     res = ev.evaluate(batches, multi_sentence=True, cut_off_points=cut_offs)
     assert res["sim_matrix"].shape == (21, 6)
     assert 0.0 <= res["R1"] <= 100.0
+
+
+def test_remat_training(rng):
+    """Gradient checkpointing path trains and matches shapes."""
+    run = tiny_cfg(remat=True)
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"],
+                        training=True)["params"]
+    trainer = Trainer(run, model, params, total_steps=10)
+    loss, gstep = trainer.train_epoch(0, [batch], jax.random.PRNGKey(0),
+                                      n_display=1000)
+    assert np.isfinite(loss) and gstep == 1
