@@ -90,9 +90,18 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if hasattr(self.dataset, "get_batch"):
             # batched fast path (FrameStoreClipDataset): whole-batch native
-            # gather, no per-sample Python work
-            for chunk in self._batches_of_indices():
-                yield self.dataset.get_batch(chunk)
+            # gather with one batch of lookahead so the host gather overlaps
+            # device compute
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = None
+                for chunk in self._batches_of_indices():
+                    nxt = pool.submit(self.dataset.get_batch, chunk)
+                    if fut is not None:
+                        yield fut.result()
+                    fut = nxt
+                if fut is not None:
+                    yield fut.result()
             return
         if self.num_threads <= 0:
             for chunk in self._batches_of_indices():

@@ -133,6 +133,8 @@ class Trainer:
                     rng: jax.Array, n_display: int = 100) -> Tuple[float, int]:
         """Returns (mean loss, global_step)."""
         total_loss, n = 0.0, 0
+        loss_log = []
+        first_gstep = int(jax.device_get(self.state.global_step))
         micro = []
         end = time.time()
         # optional XLA profiler trace of the first steps (the TPU-native
@@ -161,10 +163,11 @@ class Trainer:
                     self.state, logs = self._step_fn(self.state, batch, sub)
                 batch_time = time.time() - end
                 end = time.time()
-                gstep = int(jax.device_get(self.state.global_step))
-                loss = float(jax.device_get(logs["loss"]))
-                total_loss += loss
+                # keep losses on device; fetching every step would force a
+                # host sync per step (expensive: the dispatch is async)
+                loss_log.append(logs["loss"])
                 n += 1
+                gstep = first_gstep + n
                 if gstep % n_display == 0:
                     scale = float(jax.device_get(
                         self.state.params["clip"]["logit_scale"]))
@@ -188,5 +191,11 @@ class Trainer:
                             step=gstep)
         if profiling:
             jax.profiler.stop_trace()
+        if loss_log:
+            if all(isinstance(x, float) for x in loss_log):
+                total_loss = float(np.sum(loss_log))
+            else:
+                total_loss = float(jax.device_get(
+                    jnp.sum(jnp.stack(loss_log))))
         return total_loss / max(n, 1), int(jax.device_get(
             self.state.global_step))
