@@ -40,25 +40,65 @@ def _eval_loader(cfg: RunConfig, dataset):
     return loader, len(dataset)
 
 
+def _fstore_pairs_msrvtt_train(cfg: RunConfig):
+    import json
+    import pandas as pd
+    csv = pd.read_csv(cfg.data.train_csv)
+    with open(cfg.data.data_path) as f:
+        corpus = json.load(f)
+    if cfg.data.expand_msrvtt_sentences:
+        ids = set(csv["video_id"].values)
+        return [(i["video_id"], i["caption"]) for i in corpus["sentences"]
+                if i["video_id"] in ids]
+    first = {}
+    for i in corpus["sentences"]:
+        first.setdefault(i["video_id"], i["caption"])
+    return [(v, first[v]) for v in csv["video_id"].values if v in first]
+
+
+def _maybe_fstore(cfg: RunConfig, tokenizer, pairs_fn, is_train: bool):
+    """When --features_path points at a .fstore container, use the native
+    C++ fast path (one batched gather per step)."""
+    if not cfg.data.features_path.endswith(".fstore"):
+        return None
+    from .fast_dataset import FrameStoreClipDataset
+    return FrameStoreClipDataset(
+        cfg.data.features_path, pairs_fn(cfg), tokenizer,
+        max_words=cfg.data.max_words, max_frames=cfg.data.max_frames,
+        image_resolution=cfg.data.image_resolution, is_train=is_train,
+        num_threads=max(cfg.data.num_thread_reader, 1), seed=cfg.seed,
+        device_normalize=True)
+
+
 # --- msrvtt ------------------------------------------------------------------
 def dataloader_msrvtt_train(cfg: RunConfig, tokenizer: SimpleTokenizer):
-    ds = MSRVTTTrainDataset(
-        csv_path=cfg.data.train_csv, json_path=cfg.data.data_path,
-        features_path=cfg.data.features_path,
-        unfold_sentences=cfg.data.expand_msrvtt_sentences,
-        frame_order=cfg.data.train_frame_order,
-        slice_framepos=cfg.data.slice_framepos,
-        tokenizer=tokenizer, **_common_kwargs(cfg))
+    ds = _maybe_fstore(cfg, tokenizer, _fstore_pairs_msrvtt_train, True)
+    if ds is None:
+        ds = MSRVTTTrainDataset(
+            csv_path=cfg.data.train_csv, json_path=cfg.data.data_path,
+            features_path=cfg.data.features_path,
+            unfold_sentences=cfg.data.expand_msrvtt_sentences,
+            frame_order=cfg.data.train_frame_order,
+            slice_framepos=cfg.data.slice_framepos,
+            tokenizer=tokenizer, **_common_kwargs(cfg))
     return _train_loader(cfg, ds)
+
+
+def _fstore_pairs_msrvtt_eval(cfg: RunConfig):
+    import pandas as pd
+    df = pd.read_csv(cfg.data.val_csv)
+    return list(zip(df["video_id"].values, df["sentence"].values))
 
 
 def dataloader_msrvtt_test(cfg: RunConfig, tokenizer: SimpleTokenizer,
                            subset: str = "test"):
-    ds = MSRVTTEvalDataset(
-        csv_path=cfg.data.val_csv, features_path=cfg.data.features_path,
-        frame_order=cfg.data.eval_frame_order,
-        slice_framepos=cfg.data.slice_framepos,
-        tokenizer=tokenizer, **_common_kwargs(cfg))
+    ds = _maybe_fstore(cfg, tokenizer, _fstore_pairs_msrvtt_eval, False)
+    if ds is None:
+        ds = MSRVTTEvalDataset(
+            csv_path=cfg.data.val_csv, features_path=cfg.data.features_path,
+            frame_order=cfg.data.eval_frame_order,
+            slice_framepos=cfg.data.slice_framepos,
+            tokenizer=tokenizer, **_common_kwargs(cfg))
     return _eval_loader(cfg, ds)
 
 

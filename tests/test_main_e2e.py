@@ -105,3 +105,26 @@ def _run_with_res(main_mod, argv, resolution):
         return main_mod.main(argv)
     finally:
         cli.args_to_run_config = orig
+
+
+def test_main_with_framestore_fast_path(msrvtt_root, tmp_path):
+    """--features_path pointing at a .fstore engages the native batched
+    gather + on-device normalization path through the CLI."""
+    from centerclip_tpu.data.native import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native library not built")
+    import numpy as np
+    from centerclip_tpu.data.framestore import build_framestore
+    rng = np.random.default_rng(3)
+    vids = {f"video{i}": rng.integers(0, 255, size=(10, 40, 48, 3)).astype(
+        np.uint8) for i in range(8)}
+    store = build_framestore(vids, str(tmp_path / "msrvtt.fstore"))
+
+    import main as main_mod
+    argv = _argv(msrvtt_root, tmp_path / "out_fs")
+    # swap the features path for the framestore
+    i = argv.index("--features_path")
+    argv[i + 1] = store
+    best_r1 = _run_with_res(main_mod, argv, 32)
+    assert best_r1 is not None
