@@ -51,11 +51,13 @@ BERT_SCHEDULES = {
 }
 
 
-def make_lr_schedule(cfg: OptimConfig, total_steps: int) -> Callable:
+def make_lr_schedule(cfg: OptimConfig, total_steps: int,
+                     lr_step: int = 0, lr_step_multiplier: float = 0.1
+                     ) -> Callable:
     """Iteration-based scheduler used with AdamW
     (reference: lr_scheduler.py:65-110): linear warmup over
-    `slow_start_iters = warmup_proportion * total_steps` then cos/poly/HTD
-    decay, floored at end_lr."""
+    `slow_start_iters = warmup_proportion * total_steps` then
+    cos/poly/HTD/step decay, floored at end_lr."""
     slow_start = int(cfg.warmup_proportion * total_steps)
     slow_start_lr = 1e-8
     total = max(total_steps - slow_start, 1)
@@ -74,6 +76,10 @@ def make_lr_schedule(cfg: OptimConfig, total_steps: int) -> Callable:
         elif cfg.lr_mode == "HTD":
             ratio = tt / total
             decay = 0.5 * init_lr * (1.0 - jnp.tanh(-6.0 + 9.0 * ratio))
+        elif cfg.lr_mode == "step":
+            # step decay (lr_scheduler.py:95-105); iteration-based here
+            k = jnp.floor(tt / max(lr_step or total, 1))
+            decay = init_lr * jnp.power(lr_step_multiplier, k)
         else:
             raise NotImplementedError(cfg.lr_mode)
         lr = jnp.where((slow_start > 0) & (t <= slow_start), warm, decay)
