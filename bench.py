@@ -24,26 +24,29 @@ RUNS = 10
 
 
 def device_time(fn, runs: int) -> float:
-    """Wall-time `runs` chained dispatches of `fn` (which must return a small
-    array), fetching only the final result.
+    """Per-run device time via the slope of two chained-dispatch batches.
 
-    Note: on this image's tunnelled TPU backend `block_until_ready` does not
-    block, so timing must force a host transfer; chaining amortises the
-    ~30 ms tunnel roundtrip across the runs and the roundtrip (measured with
-    an empty chain) is subtracted.
+    On this image's tunnelled TPU backend `block_until_ready` does not block,
+    so timing must force a host transfer (np.asarray of a scalar).  Taking
+    the difference between an N-run chain and an (N+runs)-run chain cancels
+    both the tunnel roundtrip and any queue-drain effects that make single
+    measurements look impossibly fast.
     """
     fn()  # warmup/compile
     np.asarray(fn())
-    t0 = time.perf_counter()
-    np.asarray(fn())
-    roundtrip = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(runs):
-        last = fn()
-    np.asarray(last)
-    total = time.perf_counter() - t0
-    return max((total - roundtrip) / runs, 1e-9)
+
+    def total(n):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n):
+            last = fn()
+        np.asarray(last)
+        return time.perf_counter() - t0
+
+    base = max(runs // 2, 1)
+    t_short = total(base)
+    t_long = total(base + runs)
+    return max((t_long - t_short) / runs, 1e-9)
 
 
 def bench_kmedoids() -> float:

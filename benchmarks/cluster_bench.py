@@ -18,20 +18,24 @@ import numpy as np
 
 
 def device_time(fn, runs: int = 10) -> float:
-    """Chained-dispatch timing (block_until_ready does not block over the
-    tunnelled TPU backend; see bench.py)."""
+    """Slope-based chained-dispatch timing (block_until_ready does not block
+    over the tunnelled TPU backend; see bench.py device_time)."""
     import jax.numpy as jnp
     fn()
     np.asarray(jnp.sum(fn()))
-    t0 = time.perf_counter()
-    np.asarray(jnp.sum(fn()))
-    roundtrip = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(runs):
-        last = fn()
-    np.asarray(jnp.sum(last))
-    return max((time.perf_counter() - t0 - roundtrip) / runs, 1e-9)
+
+    def total(n):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n):
+            last = fn()
+        np.asarray(jnp.sum(last))
+        return time.perf_counter() - t0
+
+    base = max(runs // 2, 1)
+    t_short = total(base)
+    t_long = total(base + runs)
+    return max((t_long - t_short) / runs, 1e-9)
 
 
 def make_blobs(rng, B, N, D, K, spread=0.5):
