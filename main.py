@@ -47,6 +47,19 @@ def main(argv=None):
     logger.info("devices: %s, processes: %d", jax.device_count(),
                 jax.process_count())
 
+    # fail fast on bad data paths — model init takes minutes, a missing
+    # features_path should not cost them
+    d = cfg.data
+    for label, path, needed in (
+            ("features_path", d.features_path, True),
+            ("train_csv", d.train_csv, cfg.do_train
+             and d.datatype == "msrvtt"),
+            ("val_csv", d.val_csv, d.datatype == "msrvtt"),
+            ("data_path", d.data_path, d.datatype != "msrvtt"
+             or cfg.do_train)):
+        if needed and path and not os.path.exists(path):
+            raise SystemExit(f"--{label} does not exist: {path}")
+
     tokenizer = SimpleTokenizer()
     model = CLIP4Clip(cfg.model)
 
@@ -60,7 +73,6 @@ def main(argv=None):
 
     # ---- model init: fresh params, then pretrained CLIP weights when the
     # OpenAI archive is present (clip4clip.py:28-124)
-    d = cfg.data
     T, W, R = d.max_frames, d.max_words, d.image_resolution
     dummy = dict(
         input_ids=np.zeros((2, W), np.int32),
