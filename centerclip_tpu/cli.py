@@ -115,6 +115,8 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--cluster_inter_dim", type=int, default=256)
     p.add_argument("--temperature_new", type=float, default=1.0)
     p.add_argument("--pre_norm", type=int, default=0)
+    p.add_argument("--kmedoids_backend", type=str, default="xla",
+                   choices=["xla", "pallas"])
     return p
 
 
@@ -172,6 +174,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         aggregation=None if args.aggregation in (None, "None")
         else args.aggregation,
         pre_norm=bool(args.pre_norm),
+        kmedoids_backend=args.kmedoids_backend,
         spectral_sigma=args.spectral_sigma,
         spectral_graph=args.spectral_graph,
         spectral_knn_k=args.spectral_knn_k,

@@ -87,6 +87,10 @@ class ClusterConfig:
     # deep cluster (experimental learned clustering head)
     deep_cluster: bool = False                # --deep_cluster
     cluster_inter_dim: int = 256              # --cluster_inter_dim
+    # k-medoids backend: 'xla' (memory-bound batched formulation, default)
+    # or 'pallas' (fused single-HBM-read kernel; see ops/kmedoids_pallas.py
+    # for the measured trade-off)
+    kmedoids_backend: str = "xla"
 
     def __post_init__(self):
         assert self.algo in ("kmediods++", "pooling", "sparse_sampling",
