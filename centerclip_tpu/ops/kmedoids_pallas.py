@@ -175,6 +175,12 @@ def batch_fast_kmedoids_pallas(X: jax.Array, K: int,
                                ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for `batch_fast_kmedoids` backed by the fused
     kernel.  Returns (assign [B, N] int32, medoids [B, K] int32)."""
+    if not interpret and not fits_in_vmem(X.shape[1], K):
+        # shape exceeds the kernel's VMEM working set: use the XLA path
+        from .kmedoids import batch_fast_kmedoids
+        return batch_fast_kmedoids(X, K, distance=distance,
+                                   iter_limit=iter_limit, id_sort=id_sort,
+                                   norm_p=norm_p, pre_norm=pre_norm)
     X = X.astype(jnp.float32)
     if pre_norm:
         X = X / (jnp.linalg.norm(X, axis=-1, keepdims=True) + 1e-6)
@@ -183,6 +189,18 @@ def batch_fast_kmedoids_pallas(X: jax.Array, K: int,
     l2 = jnp.linalg.norm(X, axis=-1)                          # [B, N]
     return kmedoids_from_distances(D, l2, K, iter_limit=iter_limit,
                                    id_sort=id_sort, interpret=interpret)
+
+
+VMEM_BUDGET_BYTES = 12 << 20  # leave headroom under the 16 MiB/core VMEM
+
+
+def fits_in_vmem(N: int, K: int) -> bool:
+    """Whether one sample's working set (double-buffered D + one-hot/score
+    intermediates) fits the kernel's VMEM budget.  ViT-B/16 worst cases
+    (N=784, K=160 -> ~13 MB) exceed it; callers fall back to the XLA path."""
+    Np = _round_up(N, LANE)
+    Kp = _round_up(K, LANE)
+    return 2 * Np * Np * 4 + 10 * Np * Kp * 4 + (2 << 20) <= VMEM_BUDGET_BYTES
 
 
 @functools.partial(jax.jit, static_argnames=("K", "iter_limit", "id_sort",
