@@ -44,9 +44,17 @@ def device_time(fn, runs: int) -> float:
         return time.perf_counter() - t0
 
     base = max(runs // 2, 1)
-    t_short = total(base)
-    t_long = total(base + runs)
-    return max((t_long - t_short) / runs, 1e-9)
+    # tunnel latency is jittery: take the median of three slope samples and
+    # fall back to the long chain's mean (an upper bound) if they collapse
+    slopes = []
+    for _ in range(3):
+        t_short = total(base)
+        t_long = total(base + runs)
+        slopes.append((t_long - t_short) / runs)
+    med = sorted(slopes)[1]
+    if med <= 1e-6:
+        med = total(base + runs) / (base + runs)
+    return max(med, 1e-9)
 
 
 def bench_kmedoids() -> float:
