@@ -33,9 +33,15 @@ def device_time(fn, runs: int = 10) -> float:
         return time.perf_counter() - t0
 
     base = max(runs // 2, 1)
-    t_short = total(base)
-    t_long = total(base + runs)
-    return max((t_long - t_short) / runs, 1e-9)
+    slopes = []
+    for _ in range(3):
+        t_short = total(base)
+        t_long = total(base + runs)
+        slopes.append((t_long - t_short) / runs)
+    med = sorted(slopes)[1]
+    if med <= 1e-6:
+        med = total(base + runs) / (base + runs)
+    return max(med, 1e-9)
 
 
 def make_blobs(rng, B, N, D, K, spread=0.5):
