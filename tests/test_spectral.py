@@ -81,3 +81,19 @@ def test_spatial_temporal_graph_structure():
     # frame 1 same cell connects (t_kernel//2 = 1)
     assert g[0, 9]
     np.testing.assert_array_equal(g, g.T)
+
+
+@pytest.mark.parametrize("mode", ["HeatKernel", "KNN"])
+def test_subspace_solver_recovers_planted(rng, mode):
+    """The MXU-shaped subspace-iteration solver recovers the same planted
+    partition as exact eigh."""
+    B, N, D, K = 2, 24, 8, 3
+    x, labels = _planted(rng, B, N, D, K)
+    a, _ = batch_spectral_clustering(jnp.asarray(x), K, mode=mode, knn_k=6,
+                                     sigma=20.0, solver="subspace")
+    a = np.asarray(a)
+    for b in range(B):
+        for k in range(K):
+            members = a[b][labels == k]
+            assert len(set(members.tolist())) == 1
+        assert len(set(a[b].tolist())) == K
