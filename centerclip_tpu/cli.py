@@ -111,6 +111,8 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--spectral_knn_k", type=int, default=1)
     p.add_argument("--spectral_spg", type=int, default=0)
     p.add_argument("--svd_correct_sign", type=int, default=1)
+    p.add_argument("--spectral_solver", type=str, default="eigh",
+                   choices=["eigh", "subspace"])
     p.add_argument("--deep_cluster", type=int, default=0)
     p.add_argument("--cluster_inter_dim", type=int, default=256)
     p.add_argument("--temperature_new", type=float, default=1.0)
@@ -180,6 +182,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         spectral_knn_k=args.spectral_knn_k,
         spectral_spg=bool(args.spectral_spg),
         svd_correct_sign=bool(args.svd_correct_sign),
+        spectral_solver=args.spectral_solver,
         cluster_embedding=bool(args.cluster_embedding),
         cluster_embed_from_clip=bool(args.cluser_embed_from_clip),
         cluster_frame_embedding=bool(args.cluster_frame_embedding),

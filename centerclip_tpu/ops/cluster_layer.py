@@ -118,7 +118,8 @@ class TokenClusterInter(nn.Module):
                 threshold=cfg.threshold, iter_limit=cfg.iter_limit,
                 id_sort=cfg.id_sort, norm_p=cfg.minkowski_p,
                 correct_sign=cfg.svd_correct_sign, sigma=cfg.spectral_sigma,
-                spatial_temporal_graph=self.spg)
+                spatial_temporal_graph=self.spg,
+                solver=cfg.spectral_solver)
         raise NotImplementedError(spec.algo)
 
     def __call__(self, x: jax.Array, deterministic: bool = True,
