@@ -209,7 +209,10 @@ class ModelConfig:
 
     @property
     def final_frames(self) -> int:
-        if self.cluster.inter and self.cluster.target_frames_blocks:
+        # reference: clip4clip.py:156 reads target_frames_blocks[-1] whenever
+        # either clustering flavour is configured
+        if (self.cluster.inter or self.cluster.deep_cluster) \
+                and self.cluster.target_frames_blocks:
             return self.cluster.target_frames_blocks[-1]
         return self.max_frames
 

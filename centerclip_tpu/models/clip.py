@@ -113,9 +113,12 @@ class VisionTransformer(nn.Module):
             spec = plan[i]
             dspec = dplan[i]
             if dspec is not None:
-                # learned clustering head before the block (clip.py:232-234)
+                # learned clustering head before the block (clip.py:232-234);
+                # the WCSS loss is computed in training only
+                # (deepcluster.py:131-134)
                 x, dl = DeepCluster(spec=dspec, cfg=cfg.cluster, width=width,
-                                    name=f"deepcluster_{i}")(x)
+                                    name=f"deepcluster_{i}")(
+                    x, train=not deterministic)
                 cluster_loss = cluster_loss + dl
             if spec is not None:
                 mod = TokenClusterInter(spec=spec, cfg=cfg.cluster,

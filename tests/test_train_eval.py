@@ -181,3 +181,34 @@ def test_remat_training(rng):
     loss, gstep = trainer.train_epoch(0, [batch], jax.random.PRNGKey(0),
                                       n_display=1000)
     assert np.isfinite(loss) and gstep == 1
+
+
+def test_deep_cluster_training(rng):
+    """DeepCluster head (mutually exclusive with cluster_inter): WCSS loss
+    flows, tokens reduce, training steps run."""
+    run = tiny_cfg(inter=False, deep_cluster=True,
+                   cluster_num_blocks=(3,) * LAYERS,
+                   target_frames_blocks=(T,) + (T // 2,) * (LAYERS - 1))
+    model = CLIP4Clip(run.model)
+    batch = make_batch(rng, 8)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"],
+                        training=True)["params"]
+    # the learned head exists under the visual tower
+    assert any(k.startswith("deepcluster_") for k in
+               params["clip"]["visual"])
+    out = model.apply({"params": params},
+                      input_ids=batch["input_ids"],
+                      attention_mask=batch["attention_mask"],
+                      video=batch["video"], video_mask=batch["video_mask"],
+                      training=True)
+    # training forward computes the WCSS cluster loss (deepcluster.py:131)
+    assert float(out["cluster_loss"]) > 0.0
+    assert np.isfinite(float(out["loss"]))
+    trainer = Trainer(run, model, params, total_steps=10)
+    loss, gstep = trainer.train_epoch(0, [batch], jax.random.PRNGKey(0),
+                                      n_display=1000)
+    assert np.isfinite(loss) and gstep == 1
