@@ -70,8 +70,19 @@ class BatchLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        # strided shard like DistributedSampler (rank::world)
-        return order[self.process_index::self.process_count]
+        if self.process_count > 1:
+            # DistributedSampler semantics (reference
+            # data_dataloaders.py:26-39): pad with wrapped-around indices so
+            # every process gets the SAME number of samples — unequal shard
+            # lengths would desync per-process step counts and hang the
+            # collectives.
+            per = -(-n // self.process_count)  # ceil
+            total = per * self.process_count
+            if total > n:
+                order = np.concatenate([order, order[:total - n]])
+            order = order[self.process_index::self.process_count]
+            assert len(order) == per
+        return order
 
     def __len__(self) -> int:
         n = len(self._indices())

@@ -56,13 +56,3 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
-
-
-def local_shard_bounds(total: int, process_index: int,
-                       process_count: int) -> tuple:
-    """Contiguous per-process shard of a dataset (DistributedSampler
-    semantics without padding: reference data_dataloaders.py:26-29)."""
-    per = total // process_count
-    start = process_index * per
-    end = start + per if process_index < process_count - 1 else total
-    return start, end

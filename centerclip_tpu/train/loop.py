@@ -71,9 +71,6 @@ def make_train_step(model: CLIP4Clip, tx, accum_steps: int = 1
         return state.replace(params=params, opt_state=opt_state,
                              global_step=state.global_step + 1)
 
-    grad_step = jax.jit(_grad)
-    apply_grads = jax.jit(_apply)
-
     @jax.jit
     def fused_step(state: TrainState, batch, rng):
         """Single-micro-batch fast path: forward+backward+update in one
@@ -86,27 +83,36 @@ def make_train_step(model: CLIP4Clip, tx, accum_steps: int = 1
     if accum_steps <= 1:
         return fused_step
 
-    @jax.jit
-    def add_grads(acc, grads, scale):
-        return jax.tree.map(lambda a, g: a + g * scale, acc, grads)
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def grad_accumulate(params, batch, rng, acc):
+        """One micro-step: grads added into the (donated) accumulator; the
+        loss triplet stays on device — no host sync per micro-batch."""
+        loss, sim_loss, cluster_loss, grads = _grad(params, batch, rng)
+        acc = jax.tree.map(jnp.add, acc, grads)
+        return jnp.stack([loss, sim_loss, cluster_loss]), acc
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def finalize(state: TrainState, acc, losses):
+        """Average grads (reference's loss/accum division, main.py:316-317),
+        apply the update, reduce the [accum, 3] loss log to means."""
+        grads = jax.tree.map(lambda g: g / losses.shape[0], acc)
+        new_state = _apply(state, grads)
+        mean = jnp.mean(losses, axis=0)
+        return new_state, {"loss": mean[0], "sim_loss": mean[1],
+                           "cluster_loss": mean[2]}
+
+    zeros_like = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
 
     def accum_step(state: TrainState, micro_batches, rng):
-        """Host loop over `accum_steps` micro-batches; grads averaged like
-        the reference's loss/accum division (main.py:316-317)."""
-        acc = None
-        tot = {"loss": 0.0, "sim_loss": 0.0, "cluster_loss": 0.0}
-        scale = 1.0 / len(micro_batches)
+        """Host loop dispatches micro-steps; everything (grads, losses)
+        stays device-side until `finalize`."""
+        acc = zeros_like(state.params)
+        losses = []
         for i, mb in enumerate(micro_batches):
             sub = jax.random.fold_in(rng, i)
-            loss, sim_loss, cluster_loss, grads = grad_step(
-                state.params, mb, sub)
-            acc = grads if acc is None else add_grads(acc, grads, 1.0)
-            tot["loss"] += float(loss) * scale
-            tot["sim_loss"] += float(sim_loss) * scale
-            tot["cluster_loss"] += float(cluster_loss) * scale
-        acc = jax.tree.map(lambda g: g / len(micro_batches), acc)
-        state = apply_grads(state, acc)
-        return state, tot
+            triplet, acc = grad_accumulate(state.params, mb, sub, acc)
+            losses.append(triplet)
+        return finalize(state, acc, jnp.stack(losses))
 
     return accum_step
 

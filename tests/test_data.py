@@ -229,7 +229,11 @@ def test_loader_shuffle_shard_threads():
     l1.set_epoch(1)
     seen0 = np.concatenate([b["input_ids"][:, 0] for b in l0])
     seen1 = np.concatenate([b["input_ids"][:, 0] for b in l1])
-    assert set(seen0.tolist()).isdisjoint(seen1.tolist())
+    # equal per-process step counts (padded DistributedSampler semantics);
+    # with n=23 over 2 procs exactly one padded duplicate may overlap
+    assert len(l0) == len(l1) and len(seen0) == len(seen1)
+    overlap = set(seen0.tolist()) & set(seen1.tolist())
+    assert len(overlap) <= 1
     # same epoch -> deterministic
     seen0b = np.concatenate([b["input_ids"][:, 0] for b in l0])
     np.testing.assert_array_equal(seen0, seen0b)
@@ -242,3 +246,27 @@ def test_loader_shuffle_shard_threads():
     assert b["input_ids"].shape == (2, 4)
     assert b["video"].shape == (2, 1, 2, 3, 4, 4)
     assert b["video_mask"].shape == (2, 2)
+
+
+def test_loader_equal_shards_all_worlds():
+    """Every rank must see the SAME batch count for any (n, world) combo —
+    unequal counts desync jitted step counts and hang collectives
+    (reference pads the same way: data_dataloaders.py:26-39)."""
+    for n in (5, 7, 8, 23, 24, 25):
+        ds = _ToyDataset(n)
+        for world in (1, 2, 3, 4):
+            for drop_last in (False, True):
+                loaders = [BatchLoader(ds, 2, shuffle=True, seed=3,
+                                       drop_last=drop_last,
+                                       process_index=r, process_count=world)
+                           for r in range(world)]
+                counts = [sum(1 for _ in l) for l in loaders]
+                assert len(set(counts)) == 1, (n, world, drop_last, counts)
+                assert counts[0] == len(loaders[0])
+                # global coverage: every sample appears on some rank
+                seen = set()
+                for l in loaders:
+                    for b in l:
+                        seen.update(b["input_ids"][:, 0].tolist())
+                if not drop_last:
+                    assert seen == set(range(n)), (n, world)

