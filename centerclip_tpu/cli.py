@@ -36,6 +36,10 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
                    choices=["msrvtt", "msvd", "lsmdc", "activity", "didemo"])
     p.add_argument("--video_suffix", type=str, default=".mp4",
                    help="video file suffix (.mp4 | .npy | .fstore entries)")
+    p.add_argument("--raw_pixels", type=int, default=1,
+                   help="1: ship uint8 frames and normalise on device (4x "
+                        "less host->device traffic); 0: host float32 "
+                        "normalisation like the reference")
     # training
     p.add_argument("--num_thread_reader", type=int, default=1)
     p.add_argument("--epochs", type=int, default=20)
@@ -75,6 +79,10 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--sim_header", type=str, default="meanP",
                    choices=["meanP", "seqLSTM", "seqTransf", "tightTransf"])
     p.add_argument("--cross_num_hidden_layers", type=int, default=4)
+    p.add_argument("--cross_chunk_size", type=int, default=0,
+                   help="tightTransf: score this many text rows per cross-"
+                        "model block (0 = all at once); bounds eval-gallery "
+                        "memory like the reference's step_size split")
     p.add_argument("--pretrained_clip_name", type=str, default="ViT-B/32")
     p.add_argument("--pretrained_dir", type=str,
                    default=os.path.expanduser("~/models/pretrained"))
@@ -144,6 +152,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         loose_type=args.loose_type, linear_patch=args.linear_patch,
         max_words=args.max_words, max_frames=args.max_frames,
         cross_num_hidden_layers=args.cross_num_hidden_layers,
+        cross_chunk_size=args.cross_chunk_size,
         temperature_new=args.temperature_new,
         remat=bool(args.remat),
         compute_dtype="bfloat16" if precision == "bf16" else "float32",
@@ -159,6 +168,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         eval_frame_order=args.eval_frame_order,
         expand_msrvtt_sentences=args.expand_msrvtt_sentences,
         video_suffix=args.video_suffix,
+        raw_pixels=bool(args.raw_pixels),
         # optim
         optim=args.optim, coef_lr=args.coef_lr, weight_decay=args.wd,
         warmup_proportion=args.warmup_proportion,

@@ -186,6 +186,11 @@ class ModelConfig:
     cross_num_hidden_layers: int = 4          # --cross_num_hidden_layers
     temperature_new: float = 1.0              # --temperature_new
     pre_visual_pooling: bool = False          # derived (params.py:291-293)
+    # tightTransf memory valve (reference clip4clip.py:377-391 `step_size`):
+    # score the all-pairs cross model `cross_chunk_size` text rows at a time
+    # so the [chunk*bv, L, D] block stays bounded on big eval galleries.
+    # 0 = single block (reference default step_size = b_text).
+    cross_chunk_size: int = 0
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     # compute dtype for the transformer towers; fp32 is forced for layer norm,
     # softmax, clustering and the similarity head regardless of this setting
@@ -252,6 +257,9 @@ class DataConfig:
     expand_msrvtt_sentences: bool = False     # --expand_msrvtt_sentences
     image_resolution: int = 224
     video_suffix: str = ".mp4"                # .mp4 | .npy | framestore keys
+    # ship raw cropped uint8 pixels and normalise on device (4x less
+    # host->device traffic); False restores host-side float32 normalisation
+    raw_pixels: bool = True
 
 
 @dataclass(frozen=True)

@@ -6,7 +6,9 @@ exact text/video conventions:
   input_ids      [pair, max_words]  CLS + BPE(<=max_words-2) + SEP, 0-padded
   attention_mask [pair, max_words]
   segment_ids    [pair, max_words]  (zeros)
-  video          [pair, T, 3, H, W] float32, CLIP-normalised
+  video          [pair, T, 3, H, W] uint8 raw pixels by default (normalised
+                 on device — 4x less host->device traffic); float32
+                 CLIP-normalised with raw_pixels=False
   video_mask     [pair, T]          1 for real frames
 
 Annotation file formats are byte-compatible with the reference so existing
@@ -40,7 +42,8 @@ class VideoTextDataset:
                  max_frames: int = 100, image_resolution: int = 224,
                  is_train: bool = True, lmdb_dataset: Optional[str] = None,
                  frame_order: int = 0, slice_framepos: int = 0,
-                 video_suffix: str = ".mp4", seed: int = 42):
+                 video_suffix: str = ".mp4", raw_pixels: bool = True,
+                 seed: int = 42):
         self.tokenizer = tokenizer
         self.max_words = max_words
         self.max_frames = max_frames
@@ -50,7 +53,8 @@ class VideoTextDataset:
         self.rng = np.random.default_rng(seed)
         self.decoder = VideoDecoder(size=image_resolution, is_train=is_train,
                                     num_segments=max_frames,
-                                    lmdb_dataset=lmdb_dataset, rng=self.rng)
+                                    lmdb_dataset=lmdb_dataset,
+                                    emit_uint8=raw_pixels, rng=self.rng)
 
     # --- text ---------------------------------------------------------------
     def _get_text(self, sentence: str) -> Tuple[np.ndarray, np.ndarray,
@@ -76,7 +80,9 @@ class VideoTextDataset:
             random_shift=random_shift)
         clip = self.decoder.process_frame_order(clip, self.frame_order)
         video_mask[0, :slice_len] = 1
-        return clip[None].astype(np.float32), video_mask
+        if clip.dtype != np.uint8:  # raw-pixel path ships uint8 untouched
+            clip = clip.astype(np.float32)
+        return clip[None], video_mask
 
     def _sample(self, sentence, video_path, start=None, end=None):
         ids, mask, seg = self._get_text(sentence)

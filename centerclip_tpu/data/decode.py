@@ -46,7 +46,7 @@ class VideoDecoder:
 
     def __init__(self, size: int = 224, is_train: bool = True,
                  num_segments: int = 12, lmdb_dataset: Optional[str] = None,
-                 backend: str = "auto",
+                 backend: str = "auto", emit_uint8: bool = False,
                  rng: Optional[np.random.Generator] = None):
         self.size = size
         self.train = is_train
@@ -54,6 +54,9 @@ class VideoDecoder:
         self.lmdb_dataset = None if lmdb_dataset in (None, "None") \
             else lmdb_dataset
         self.backend = backend
+        # ship raw cropped uint8 pixels; normalisation moves on-device
+        # (4x less host->device traffic than float32 frames)
+        self.emit_uint8 = emit_uint8
         self.rng = rng or np.random.default_rng()
         self._db_txn = None
         self._framestore = None
@@ -180,7 +183,10 @@ class VideoDecoder:
             inds = uniform_sampling(self.num_segments, num_frames)
 
         sampled = [np.asarray(frames[int(i)]) for i in inds]
-        if self.train:
+        if self.emit_uint8:
+            from .transforms import clip_transform_uint8
+            tensor = clip_transform_uint8(sampled, self.size)
+        elif self.train:
             tensor = clip_train_transform(sampled, self.size, rng=self.rng)
         else:
             tensor = clip_eval_transform(sampled, self.size)

@@ -21,7 +21,7 @@ def _common_kwargs(cfg: RunConfig) -> dict:
     return dict(max_words=d.max_words, max_frames=d.max_frames,
                 image_resolution=d.image_resolution,
                 lmdb_dataset=d.lmdb_dataset, seed=cfg.seed,
-                video_suffix=d.video_suffix)
+                video_suffix=d.video_suffix, raw_pixels=d.raw_pixels)
 
 
 def _train_loader(cfg: RunConfig, dataset):

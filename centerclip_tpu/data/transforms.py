@@ -118,6 +118,20 @@ def _resize_bilinear(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy[None, None, :, None]) + bot * wy[None, None, :, None]
 
 
+def clip_transform_uint8(frames: Sequence[np.ndarray], size: int = 224
+                         ) -> np.ndarray:
+    """Raw-pixel pipeline: [H, W, C] uint8 frames -> [T, C, size, size]
+    uint8 (centre-cropped, NOT normalised).
+
+    The /255 + CLIP-stat normalisation happens on device
+    (models/clip4clip.py get_visual_output), so the host ships 4x fewer
+    bytes than the float32 pipeline; zero-padding smaller frames matches the
+    float path (0 uint8 -> 0.0 after /255)."""
+    x = np.stack([np.asarray(f) for f in frames], axis=0)     # [T, H, W, C]
+    x = np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))   # [T, C, H, W]
+    return center_crop(x, size)
+
+
 def clip_eval_transform(frames: Sequence[np.ndarray], size: int = 224
                         ) -> np.ndarray:
     """The reference's eval pipeline (decode.py:44-49)."""

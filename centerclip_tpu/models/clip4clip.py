@@ -153,32 +153,52 @@ class CLIP4Clip(nn.Module):
             logit_scale = jnp.exp(self.clip.logit_scale)
         return logit_scale * seq @ visual_output.T
 
-    def cross_similarity(self, sequence_output, visual_output, attention_mask,
-                         video_mask) -> jax.Array:
-        """tightTransf all-pairs similarity (clip4clip.py:369-410): every
-        (text, video) pair is concatenated and scored by the cross model."""
-        bt = sequence_output.shape[0]
+    def _cross_score_rows(self, seq_rows, visual_output, video_mask
+                          ) -> jax.Array:
+        """Score a block of text rows against ALL videos: [c, s_text, D] ->
+        [c, bv] (the loop body of clip4clip.py:389-407)."""
+        c = seq_rows.shape[0]
         bv = visual_output.shape[0]
-        s_text = sequence_output.shape[1]
+        s_text = seq_rows.shape[1]
         s_vis = visual_output.shape[1]
         # text branch carries only the pooled token -> mask of ones
         # (clip4clip.py:383-385)
-        text_mask = jnp.ones((bt, s_text), jnp.float32)
+        tmask_l = jnp.ones((c * bv, s_text), jnp.float32)
 
-        seq_l = jnp.repeat(sequence_output[:, None], bv, axis=1)
-        seq_l = seq_l.reshape(bt * bv, s_text, -1)
-        tmask_l = jnp.repeat(text_mask[:, None], bv, axis=1)
-        tmask_l = tmask_l.reshape(bt * bv, s_text)
-        vis_r = jnp.tile(visual_output[None], (bt, 1, 1, 1))
-        vis_r = vis_r.reshape(bt * bv, s_vis, -1)
-        vmask_r = jnp.tile(video_mask[None], (bt, 1, 1)).reshape(bt * bv, s_vis)
+        seq_l = jnp.repeat(seq_rows[:, None], bv, axis=1)
+        seq_l = seq_l.reshape(c * bv, s_text, -1)
+        vis_r = jnp.tile(visual_output[None], (c, 1, 1, 1))
+        vis_r = vis_r.reshape(c * bv, s_vis, -1)
+        vmask_r = jnp.tile(video_mask[None], (c, 1, 1)).reshape(c * bv, s_vis)
 
         concat = jnp.concatenate([seq_l, vis_r], axis=1)
         concat_mask = jnp.concatenate([tmask_l, vmask_r], axis=1)
         concat_type = jnp.concatenate(
             [jnp.zeros_like(tmask_l), jnp.ones_like(vmask_r)], axis=1)
         _, pooled = self.cross(concat, concat_type, concat_mask)
-        return self.similarity_dense(pooled).reshape(bt, bv)
+        return self.similarity_dense(pooled).reshape(c, bv)
+
+    def cross_similarity(self, sequence_output, visual_output, attention_mask,
+                         video_mask) -> jax.Array:
+        """tightTransf all-pairs similarity (clip4clip.py:369-410): every
+        (text, video) pair is concatenated and scored by the cross model.
+
+        With `cfg.cross_chunk_size > 0` the text rows are scored
+        `cross_chunk_size` at a time (the reference's `step_size` split,
+        clip4clip.py:377-391) so a large eval gallery never materialises the
+        full [bt*bv, L, D] cross input; each chunk has identical static
+        shapes so XLA compiles the block body once and reuses its buffers."""
+        bt = sequence_output.shape[0]
+        chunk = self.cfg.cross_chunk_size
+        if chunk <= 0 or chunk >= bt:
+            return self._cross_score_rows(sequence_output, visual_output,
+                                          video_mask)
+        n_pad = (-bt) % chunk
+        seq_p = jnp.pad(sequence_output, ((0, n_pad), (0, 0), (0, 0)))
+        rows = [self._cross_score_rows(seq_p[s:s + chunk], visual_output,
+                                       video_mask)
+                for s in range(0, bt + n_pad, chunk)]
+        return jnp.concatenate(rows, axis=0)[:bt]
 
     def get_similarity_logits(self, sequence_output, visual_output,
                               attention_mask, video_mask,

@@ -90,6 +90,25 @@ def test_npy_backend(tmp_path):
     assert clip2.shape == (12, 3, 224, 224) and n2 == 5
 
 
+def test_uint8_raw_pixel_path(tmp_path):
+    """emit_uint8 ships cropped raw pixels whose on-device normalisation
+    ((x/255 - mean)/std, clip4clip.py get_visual_output) reproduces the host
+    float32 pipeline exactly."""
+    p = str(tmp_path / "vid.npy")
+    _write_npy_video(p)
+    dec8 = VideoDecoder(size=224, is_train=False, num_segments=12,
+                        emit_uint8=True)
+    clip8, n8 = dec8.get_video_data(p)
+    assert clip8.dtype == np.uint8 and clip8.shape == (12, 3, 224, 224)
+    decf = VideoDecoder(size=224, is_train=False, num_segments=12)
+    clipf, nf = decf.get_video_data(p)
+    assert n8 == nf
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 3, 1, 1)
+    device_norm = (clip8.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(device_norm, clipf, rtol=1e-5, atol=1e-6)
+
+
 def test_framestore_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     vids = {f"video{i}": rng.integers(0, 255, size=(6, 8, 10, 3)).astype(

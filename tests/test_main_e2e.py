@@ -107,6 +107,20 @@ def _run_with_res(main_mod, argv, resolution):
         cli.args_to_run_config = orig
 
 
+def test_cli_default_ships_uint8(msrvtt_root, tmp_path):
+    """The CLI-default pipeline (raw_pixels=1) must deliver uint8 video
+    batches end-to-end — the torch-ckpt eval in test_main_train_then_eval
+    therefore runs on uint8 input; this pins the dtype explicitly."""
+    from centerclip_tpu import cli
+    from centerclip_tpu.data.registry import DATALOADER_DICT
+    from centerclip_tpu.models.tokenizer import SimpleTokenizer
+    cfg = cli.parse_args(_argv(msrvtt_root, tmp_path / "o"))
+    assert cfg.data.raw_pixels
+    loader, _ = DATALOADER_DICT["msrvtt"]["val"](cfg, SimpleTokenizer())
+    batch = next(iter(loader))
+    assert batch["video"].dtype == np.uint8
+
+
 def test_main_with_framestore_fast_path(msrvtt_root, tmp_path):
     """--features_path pointing at a .fstore engages the native batched
     gather + on-device normalization path through the CLI."""

@@ -47,6 +47,34 @@ def test_tight_transf_trains(rng):
     assert np.isfinite(loss) and gstep == 1
 
 
+def test_tight_transf_chunked_matches_unchunked(rng):
+    """cross_chunk_size bounds the [chunk*bv, L, D] cross block on big
+    galleries (reference step_size split, clip4clip.py:377-391); chunked
+    scores must equal the single-block result, including a ragged tail."""
+    import jax.numpy as jnp
+    run = tiny_cfg(sim_header="tightTransf", loose_type=False)
+    model, params, batch = _init(run, rng, n=4)
+
+    bt, bv = 5, 4  # bt NOT divisible by the chunk size -> exercises padding
+    key = jax.random.PRNGKey(3)
+    seq = jax.random.normal(key, (bt, 1, 16))  # EMBED=16 in tiny arch
+    vis = jax.random.normal(jax.random.fold_in(key, 1), (bv, 2, 16))
+    vmask = jnp.ones((bv, 2), jnp.int32)
+
+    def score(m, s, v, vm):
+        return m.cross_similarity(s, v, None, vm)
+
+    full = model.apply({"params": params}, seq, vis, vmask, method=score)
+    import dataclasses
+    run2 = dataclasses.replace(
+        run, model=dataclasses.replace(run.model, cross_chunk_size=2))
+    model2 = CLIP4Clip(run2.model)
+    chunked = model2.apply({"params": params}, seq, vis, vmask, method=score)
+    assert chunked.shape == (bt, bv)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_seq_lstm_raises(rng):
     # the reference rejects seqLSTM at the loose-type assert
     # (clip4clip.py:423) before its own NotImplementedError at :332
