@@ -66,7 +66,11 @@ class VisionTransformer(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array]:
         """video: [B*T, 3, H, W] float (CLIP-normalised) frames.
 
-        Returns (hidden [B*T_final, 1+K, embed_dim] fp32, cluster_loss scalar).
+        Returns (CLS features [B*T_final, embed_dim] fp32, cluster_loss
+        scalar).  Like the reference (clip.py:463-464), ln_post + the output
+        projection run on the CLS token only — no other token is consumed
+        downstream, and projecting all 1+K tokens costs ~50x the FLOPs plus
+        an fp32 [B*T, 1+K, embed] HBM round-trip.
         """
         cfg = self.cfg
         arch = cfg.arch
@@ -131,7 +135,7 @@ class VisionTransformer(nn.Module):
                 x = TokenClusterInter(spec=spec, cfg=cfg.cluster, width=width,
                                       name=f"cluster_post_{i}")(x)
 
-        x = LayerNormF32(name="ln_post")(x).astype(jnp.float32)
+        x = LayerNormF32(name="ln_post")(x[:, 0, :]).astype(jnp.float32)
         proj = self.param("proj", nn.initializers.normal(width ** -0.5),
                           (width, arch["embed_dim"]))
         return x @ proj, cluster_loss
@@ -208,9 +212,9 @@ class CLIP(nn.Module):
         cluster_loss)."""
         if self._visual_is_resnet:
             return self.visual(video).astype(jnp.float32), jnp.float32(0.0)
-        hidden, cluster_loss = self.visual(video, deterministic=deterministic,
-                                           rng=rng)
-        return hidden[:, 0, :], cluster_loss
+        feats, cluster_loss = self.visual(video, deterministic=deterministic,
+                                          rng=rng)
+        return feats, cluster_loss
 
     def __call__(self, video: jax.Array, text: jax.Array):
         """Image/text contrastive logits (reference: clip.py:498-512)."""

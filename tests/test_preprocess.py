@@ -60,3 +60,65 @@ def test_generate_video_path_cli(tmp_path, monkeypatch):
     "compress_video", "folder2lmdb", "download_lsmdc", "visualize_clusters"])
 def test_cli_modules_import(mod):
     importlib.import_module(f"centerclip_tpu.preprocess.{mod}")
+
+
+def _synthetic_clip(tmp_path, T=4, hw=224):
+    """Clusterable .npy clip: quadrant-colored frames."""
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 40, size=(T, hw, hw, 3)).astype(np.uint8)
+    clip[:, : hw // 2, : hw // 2, 0] += 200     # distinct quadrants
+    clip[:, : hw // 2, hw // 2:, 1] += 200
+    clip[:, hw // 2:, : hw // 2, 2] += 200
+    path = tmp_path / "clip.npy"
+    np.save(path, clip)
+    return str(path)
+
+
+def test_visualize_patches_mode(tmp_path):
+    """patch_video.py parity: crop-{i}.png + per-frame patch grid dumps."""
+    from centerclip_tpu.preprocess import visualize_clusters as vc
+    video = _synthetic_clip(tmp_path)
+    out = tmp_path / "out"
+    vc.main(["--video", video, "--output_dir", str(out),
+             "--mode", "patches", "--max_frames", "4"])
+    assert (out / "crop-1.png").exists() and (out / "crop-4.png").exists()
+    # 224/32 = 7x7 = 49 patch files per frame, raster order, 1-based
+    patches = sorted(os.listdir(out / "crop-2"))
+    assert len(patches) == 49
+    assert "crop-2-1.png" in patches and "crop-2-49.png" in patches
+
+
+def test_visualize_mask_mode_and_ids_roundtrip(tmp_path):
+    """visualize_video.py parity: masked frames; ids dump save + reload."""
+    from PIL import Image
+    from centerclip_tpu.preprocess import visualize_clusters as vc
+    video = _synthetic_clip(tmp_path)
+    out = tmp_path / "out"
+    vc.main(["--video", video, "--output_dir", str(out), "--mode", "mask",
+             "--max_frames", "4", "--segment_frames", "2",
+             "--cluster_num", "8", "--save_ids", "1"])
+    assert (out / "crop-masked-1.png").exists()
+    assert (out / "crop-masked-4.png").exists()
+    ids = np.load(out / "ids_0.npy")
+    assert ids.shape == (2, 8)              # [segments, K]
+    masked = np.asarray(Image.open(out / "crop-masked-1.png"))
+    plain = np.asarray(Image.open(out / "crop-1.png"))
+    assert masked.shape == plain.shape and not np.array_equal(masked, plain)
+
+    # reference flow: render from a saved ids dump (visualize_video.py:74-97)
+    out2 = tmp_path / "out2"
+    vc.main(["--video", video, "--output_dir", str(out2), "--mode", "mask",
+             "--max_frames", "4", "--id_path", str(out / "ids_0.npy")])
+    masked2 = np.asarray(Image.open(out2 / "crop-masked-1.png"))
+    assert np.array_equal(masked2, masked)
+
+
+def test_visualize_overlay_mode(tmp_path):
+    from centerclip_tpu.preprocess import visualize_clusters as vc
+    video = _synthetic_clip(tmp_path)
+    out = tmp_path / "out"
+    vc.main(["--video", video, "--output_dir", str(out), "--mode", "overlay",
+             "--max_frames", "4", "--segment_frames", "2",
+             "--cluster_num", "8"])
+    assert (out / "seg0_frame0.png").exists()
+    assert (out / "seg1_frame1.png").exists()
