@@ -79,6 +79,9 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--sim_header", type=str, default="meanP",
                    choices=["meanP", "seqLSTM", "seqTransf", "tightTransf"])
     p.add_argument("--cross_num_hidden_layers", type=int, default=4)
+    p.add_argument("--cross_model", type=str, default="cross-base",
+                   help="cross-module archive: shipped name, local dir, "
+                        ".tar.gz, or URL (params.py:97, base.py:34-70)")
     p.add_argument("--cross_chunk_size", type=int, default=0,
                    help="tightTransf: score this many text rows per cross-"
                         "model block (0 = all at once); bounds eval-gallery "
@@ -88,6 +91,9 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
                    default=os.path.expanduser("~/models/pretrained"))
     p.add_argument("--precision", type=str, default="amp",
                    choices=["amp", "fp16", "fp32", "bf16"])
+    p.add_argument("--fused_attention", type=int, default=1,
+                   help="fused Pallas attention in the tower forward "
+                        "(inference path; ignored on non-TPU backends)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize transformer blocks on backward "
                         "(activation-memory relief for long-video configs)")
@@ -125,8 +131,6 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--cluster_inter_dim", type=int, default=256)
     p.add_argument("--temperature_new", type=float, default=1.0)
     p.add_argument("--pre_norm", type=int, default=0)
-    p.add_argument("--kmedoids_backend", type=str, default="xla",
-                   choices=["xla", "pallas"])
     return p
 
 
@@ -152,9 +156,11 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         loose_type=args.loose_type, linear_patch=args.linear_patch,
         max_words=args.max_words, max_frames=args.max_frames,
         cross_num_hidden_layers=args.cross_num_hidden_layers,
+        cross_model_name=args.cross_model,
         cross_chunk_size=args.cross_chunk_size,
         temperature_new=args.temperature_new,
         remat=bool(args.remat),
+        fused_attention=bool(args.fused_attention),
         compute_dtype="bfloat16" if precision == "bf16" else "float32",
         # data
         datatype=args.datatype, data_dir=args.data_dir,
@@ -186,7 +192,6 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         aggregation=None if args.aggregation in (None, "None")
         else args.aggregation,
         pre_norm=bool(args.pre_norm),
-        kmedoids_backend=args.kmedoids_backend,
         spectral_sigma=args.spectral_sigma,
         spectral_graph=args.spectral_graph,
         spectral_knn_k=args.spectral_knn_k,

@@ -90,10 +90,6 @@ class ClusterConfig:
     # deep cluster (experimental learned clustering head)
     deep_cluster: bool = False                # --deep_cluster
     cluster_inter_dim: int = 256              # --cluster_inter_dim
-    # k-medoids backend: 'xla' (memory-bound batched formulation, default)
-    # or 'pallas' (fused single-HBM-read kernel; see ops/kmedoids_pallas.py
-    # for the measured trade-off)
-    kmedoids_backend: str = "xla"
 
     def __post_init__(self):
         assert self.algo in ("kmediods++", "pooling", "sparse_sampling",
@@ -184,6 +180,7 @@ class ModelConfig:
     max_words: int = 32                       # --max_words
     max_frames: int = 12                      # --max_frames
     cross_num_hidden_layers: int = 4          # --cross_num_hidden_layers
+    cross_model_name: str = "cross-base"      # --cross_model (archive ref)
     temperature_new: float = 1.0              # --temperature_new
     pre_visual_pooling: bool = False          # derived (params.py:291-293)
     # tightTransf memory valve (reference clip4clip.py:377-391 `step_size`):
@@ -200,6 +197,12 @@ class ModelConfig:
     # answer to the ActivityNet 60-75-frame OOM configs the reference handles
     # with 8-32 GPUs (README.md:86, scripts/activitynet.sh:90)
     remat: bool = False
+    # fused Pallas attention kernel for the (inference) tower forward.  XLA's
+    # attention lowering at CLIP's tiny sequence lengths is copy-bound (~25%
+    # of the encode step in layout copies on v5e); the kernel keeps
+    # logits/softmax in VMEM.  Training falls back to the XLA path (the
+    # kernel defines no VJP), as does any non-TPU backend.
+    fused_attention: bool = True
 
     def __post_init__(self):
         assert self.clip_name in CLIP_ARCHS, f"unknown CLIP variant {self.clip_name}"

@@ -28,7 +28,8 @@ class TextTransformer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, text: jax.Array) -> jax.Array:
+    def __call__(self, text: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
         """text: [B, L] int32 token ids -> [B, L, embed_dim] hidden states."""
         arch = self.cfg.arch
         width = arch["transformer_width"]
@@ -45,9 +46,10 @@ class TextTransformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if self.cfg.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
+        fused = self.cfg.fused_attention and deterministic
         for i in range(arch["transformer_layers"]):
             x = block_cls(width, arch["transformer_heads"],
-                          dtype, name=f"resblocks_{i}")(x, mask)
+                          dtype, fused=fused, name=f"resblocks_{i}")(x, mask)
         x = LayerNormF32(name="ln_final")(x).astype(jnp.float32)
         proj = self.param("text_projection",
                           nn.initializers.normal(width ** -0.5),
@@ -94,8 +96,23 @@ class VisionTransformer(nn.Module):
             patches = video.reshape(BT, C, gh, P, gw, P)
             patches = patches.transpose(0, 2, 4, 1, 3, 5)      # [BT,gh,gw,C,P,P]
             patches = patches.reshape(BT, gh * gw, C * P * P).astype(dtype)
-            kernel = conv1.reshape(width, C * P * P).T.astype(dtype)
+            kernel = conv1.reshape(width, C, P * P)
+            bias = None
+            if video.dtype == jnp.uint8:
+                # raw uint8 frames: fold the CLIP normalisation
+                # (x/255 - mean)/std into the (linear) patchify so no fp32
+                # [BT, C, H, W] tensor is ever materialised —
+                # x_norm @ K == x_raw @ (K * s_c) + shift_c . sum_p K.
+                # uint8 0..255 is exact in bf16 (8 mantissa bits).
+                from ..data.transforms import CLIP_MEAN, CLIP_STD
+                mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+                std = jnp.asarray(CLIP_STD, jnp.float32)
+                bias = jnp.einsum("c,ocp->o", -mean / std, kernel)
+                kernel = kernel * (1.0 / (255.0 * std))[None, :, None]
+            kernel = kernel.reshape(width, C * P * P).T.astype(dtype)
             x = patches @ kernel                               # [BT, gh*gw, width]
+            if bias is not None:
+                x = x + bias.astype(dtype)
 
         cls = self.param("class_embedding",
                          nn.initializers.normal(width ** -0.5), (width,))
@@ -113,6 +130,7 @@ class VisionTransformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if cfg.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
+        fused = cfg.fused_attention and deterministic
         for i in range(arch["vision_layers"]):
             spec = plan[i]
             dspec = dplan[i]
@@ -128,7 +146,7 @@ class VisionTransformer(nn.Module):
                 mod = TokenClusterInter(spec=spec, cfg=cfg.cluster,
                                         width=width, name=f"cluster_{i}")
                 x = mod(x, deterministic=deterministic, rng=rng)
-            x = block_cls(width, vision_heads, dtype,
+            x = block_cls(width, vision_heads, dtype, fused=fused,
                           name=f"resblocks_{i}")(x)
             if spec is not None and spec.algo == "token_shift":
                 # token_shift runs again after attention (clip.py:247-248)
@@ -190,11 +208,12 @@ class CLIP(nn.Module):
                                       lambda key: jnp.asarray(np.log(1 / 0.07),
                                                               jnp.float32))
 
-    def encode_text(self, text: jax.Array) -> jax.Array:
+    def encode_text(self, text: jax.Array,
+                    deterministic: bool = True) -> jax.Array:
         """[B, L] ids -> [B, embed_dim] fp32 features (EOT pooling: the EOT
         token has the largest id, so argmax over ids finds it —
         reference: clip.py:471-496)."""
-        hidden = self.text(text)
+        hidden = self.text(text, deterministic=deterministic)
         eot = jnp.argmax(text, axis=-1)
         return jnp.take_along_axis(
             hidden, eot[:, None, None], axis=1)[:, 0, :]

@@ -54,7 +54,11 @@ class CLIP4Clip(nn.Module):
                                        name=f"transformerClip_{i}")
                 for i in range(cfg.cross_num_hidden_layers)]
         if not cfg.loose_type:
-            cross_cfg = CrossConfig(
+            # archive config first, task-config overrides last
+            # (reference clip4clip.py:41 + base.py update_attr; hidden size
+            # and max positions track CLIP's dims, clip4clip.py:175-178)
+            cross_cfg = CrossConfig.get_config(
+                cfg.cross_model_name,
                 hidden_size=cfg.arch["embed_dim"],
                 num_hidden_layers=cfg.cross_num_hidden_layers,
                 max_position_embeddings=ctx)
@@ -62,9 +66,11 @@ class CLIP4Clip(nn.Module):
             self.similarity_dense = nn.Dense(1, name="similarity_dense")
 
     # ------------------------------------------------------------------ text
-    def get_sequence_output(self, input_ids: jax.Array) -> jax.Array:
+    def get_sequence_output(self, input_ids: jax.Array,
+                            deterministic: bool = True) -> jax.Array:
         """[B, L] -> [B, 1, D] fp32 (clip4clip.py:265-272)."""
-        feats = self.clip.encode_text(input_ids).astype(jnp.float32)
+        feats = self.clip.encode_text(
+            input_ids, deterministic=deterministic).astype(jnp.float32)
         return feats[:, None, :]
 
     # ----------------------------------------------------------------- video
@@ -76,12 +82,18 @@ class CLIP4Clip(nn.Module):
         fp32, cluster_loss) (clip4clip.py:222-243,274-281).
 
         uint8 inputs are normalised on-device (the host ships raw cropped
-        pixels — 4x less host->device traffic than float32 frames)."""
+        pixels — 4x less host->device traffic than float32 frames).  On the
+        2D-patchify ViT the normalisation is folded into the patch matmul
+        (see VisionTransformer); only the conv3d / ResNet towers need the
+        explicit fp32 normalise here."""
         B = video_mask.shape[0]
         if video.ndim == 6:
             _, _, _, C, H, W = video.shape
             video = video.reshape(-1, C, H, W)
-        if video.dtype == jnp.uint8:
+        needs_explicit_norm = (self.cfg.linear_patch == "3d"
+                               or isinstance(self.cfg.arch["vision_layers"],
+                                             (tuple, list)))
+        if video.dtype == jnp.uint8 and needs_explicit_norm:
             from ..data.transforms import CLIP_MEAN, CLIP_STD
             mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(1, 3, 1, 1)
             std = jnp.asarray(CLIP_STD, jnp.float32).reshape(1, 3, 1, 1)
@@ -232,7 +244,8 @@ class CLIP4Clip(nn.Module):
             if attention_mask is not None:
                 attention_mask = attention_mask.reshape(
                     -1, attention_mask.shape[-1])
-            sequence_output = self.get_sequence_output(input_ids)
+            sequence_output = self.get_sequence_output(
+                input_ids, deterministic=not training)
             out["sequence_output"] = sequence_output
         if video is not None:
             video_mask = video_mask.reshape(-1, video_mask.shape[-1])

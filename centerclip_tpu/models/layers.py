@@ -41,10 +41,16 @@ class MultiHeadAttention(nn.Module):
 
     Weight layout mirrors torch nn.MultiheadAttention (in_proj packs Q,K,V
     rows in that order) so checkpoints convert with a single transpose.
+
+    With `fused=True` on a TPU backend the score/softmax/PV stage runs in
+    the fused Pallas kernel (ops/attention_pallas.py) — same math, no
+    layout copies, fp32 logits never leave VMEM.  The kernel defines no
+    VJP, so callers must only set it on non-differentiated forwards.
     """
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -55,18 +61,27 @@ class MultiHeadAttention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
                        name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        if self.fused and jax.default_backend() != "cpu":
+            from ..ops.attention_pallas import fused_mha
+            out = fused_mha(q, k, v, attn_mask, heads=H)
+            return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                            name="out_proj")(out)
+        # keep the [B, L, H, hd] layout end-to-end: explicit
+        # .transpose(0, 2, 1, 3) materialises ~B*L*D copies around every
+        # einsum (measured 25% of the encode step on v5e); dot_general takes
+        # the head axis as a batch dim without moving data
+        q = q.reshape(B, L, H, hd)
+        k = k.reshape(B, L, H, hd)
+        v = v.reshape(B, L, H, hd)
 
         scale = hd ** -0.5
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32)
         if attn_mask is not None:
             logits = logits + attn_mask.astype(logits.dtype)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        out = out.reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
                         name="out_proj")(out)
 
@@ -92,12 +107,13 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
-                                   name="attn")(
+                                   fused=self.fused, name="attn")(
             LayerNormF32(name="ln_1")(x), attn_mask)
         x = x + MLP(self.width, self.dtype, name="mlp")(
             LayerNormF32(name="ln_2")(x))

@@ -1,0 +1,102 @@
+# coding=utf-8
+"""Fused Pallas attention vs the XLA attention path (interpret mode on CPU;
+the same assertions run compiled on a real TPU via benchmarks/encode_ablation
+and the TPU-gated test below)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from centerclip_tpu.ops.attention_pallas import fused_mha
+
+
+def xla_mha(q, k, v, heads, mask=None):
+    B, L, D = q.shape
+    hd = D // heads
+    qq = q.reshape(B, L, heads, hd)
+    kk = k.reshape(B, L, heads, hd)
+    vv = v.reshape(B, L, heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qq * hd ** -0.5, kk,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vv)
+    return out.reshape(B, L, D)
+
+
+@pytest.mark.parametrize("B,L,H,hd,group", [
+    (6, 50, 12, 64, 4),     # ViT-B/32 patch shape, B % group != 0
+    (3, 32, 8, 64, 8),      # text shape, B < group
+])
+def test_fused_matches_xla_fp32(B, L, H, hd, group):
+    rng = np.random.default_rng(0)
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+               for _ in range(3))
+    out = fused_mha(q, k, v, heads=H, group=group, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_mha(q, k, v, H)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_matches_xla_causal_mask():
+    rng = np.random.default_rng(1)
+    B, L, H, hd = 4, 32, 8, 64
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
+    out = fused_mha(q, k, v, mask, heads=H, group=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_mha(q, k, v, H, mask)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bf16_tolerance():
+    rng = np.random.default_rng(2)
+    B, L, H, hd = 4, 50, 12, 64
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.bfloat16)
+               for _ in range(3))
+    out = fused_mha(q, k, v, heads=H, group=4, interpret=True)
+    ref = xla_mha(q, k, v, H)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_towers_pick_fused_only_when_deterministic_on_tpu():
+    """On the CPU backend the flag must be inert (kernel has no VJP and
+    Mosaic doesn't compile on CPU) — the full model must train and evaluate
+    with fused_attention=True without touching the kernel."""
+    from tests.test_train_eval import tiny_cfg, make_batch
+    from centerclip_tpu.models.clip4clip import CLIP4Clip
+    run = tiny_cfg(fused_attention=True)
+    model = CLIP4Clip(run.model)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, 4)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=batch["input_ids"],
+                        attention_mask=batch["attention_mask"],
+                        video=batch["video"],
+                        video_mask=batch["video_mask"],
+                        training=True)["params"]
+    out = model.apply({"params": params}, **{k: jnp.asarray(v)
+                                             for k, v in batch.items()},
+                      training=True)
+    assert np.isfinite(float(out["loss"]))
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="compiled-kernel check needs the TPU backend")
+def test_fused_compiled_matches_xla_on_tpu():
+    rng = np.random.default_rng(3)
+    B, L, H, hd = 16, 50, 12, 64
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.bfloat16)
+               for _ in range(3))
+    out = np.asarray(fused_mha(q, k, v, heads=H), np.float32)
+    ref = np.asarray(xla_mha(q, k, v, H), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)

@@ -98,3 +98,28 @@ def test_sharded_eval_matches_single_device(rng):
     np.testing.assert_allclose(res_sharded["sim_matrix"],
                                res_single["sim_matrix"], rtol=2e-4, atol=2e-4)
     assert res_sharded["t2v"]["R1"] == res_single["t2v"]["R1"]
+
+
+def test_uint8_folded_normalisation_matches_float_path(rng):
+    """Raw uint8 frames (normalisation folded into the patchify matmul,
+    VisionTransformer) must produce the same visual features as host-side
+    float32 CLIP normalisation to numerical tolerance."""
+    from centerclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    # clustering off: k-medoids argmin ties flip under 1e-6 perturbations on
+    # random data, which would amplify legitimate rounding differences into
+    # wholesale medoid swaps (the fold itself is what's under test here)
+    run = tiny_cfg(inter=False)
+    model, params, batch = _init(run, rng)
+    u8 = rng.integers(0, 256, size=batch["video"].shape).astype(np.uint8)
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 1, 1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 1, 1, 3, 1, 1)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    def vis(video):
+        return model.apply(
+            {"params": params}, video, batch["video_mask"],
+            method=lambda m, v, vm: m.get_visual_output(v, vm)[0])
+
+    out8 = np.asarray(vis(u8))
+    outf = np.asarray(vis(f32))
+    np.testing.assert_allclose(out8, outf, rtol=2e-4, atol=2e-4)
