@@ -99,13 +99,6 @@ class TokenClusterInter(nn.Module):
         spec, cfg = self.spec, self.cfg
         res_tmp = jax.lax.stop_gradient(res_tmp.astype(jnp.float32))
         if spec.algo == "kmediods++":
-            if cfg.kmedoids_backend == "pallas":
-                from .kmedoids_pallas import batch_fast_kmedoids_pallas
-                return batch_fast_kmedoids_pallas(
-                    res_tmp, spec.cluster_num, distance=cfg.distance,
-                    iter_limit=cfg.iter_limit, id_sort=cfg.id_sort,
-                    norm_p=cfg.minkowski_p, pre_norm=cfg.pre_norm,
-                    interpret=jax.default_backend() != "tpu")
             return batch_fast_kmedoids(
                 res_tmp, spec.cluster_num, distance=cfg.distance,
                 threshold=cfg.threshold, iter_limit=cfg.iter_limit,

@@ -1,5 +1,17 @@
 # coding=utf-8
-"""Fused Pallas k-medoids kernel (TPU).
+"""Fused Pallas k-medoids kernel (TPU) — **research artifact, not wired**.
+
+Round-2 disposition: the kernel is correct (interpret-mode equality tests in
+tests/test_kmedoids_pallas.py) but loses to the XLA path at every production
+shape, so the `kmedoids_backend` config flag was removed and
+TokenClusterInter always uses ops/kmedoids.py.  Why it cannot win here: the
+Lloyd iterations cost ~2*N^2*K FLOPs/sample/iter in fp32 (argmin semantics
+pin fp32 — CLAUDE.md), which on the MXU runs as 3-pass bf16 at ~1/3 peak;
+at N=196, K=49, B=384 that compute floor is ~6-8 ms regardless of how the
+grid is batched, while the XLA path hides its HBM re-reads behind the same
+compute and finishes in ~2.6 ms.  A batched-G grid only amortises program
+launch (not the bottleneck).  The kernel would win only where D re-reads
+dominate compute: N >> K and few iterations — shapes CenterCLIP never runs.
 
 The jnp implementation (ops/kmedoids.py) re-reads the [B, N, N] distance
 matrix from HBM on every Lloyd iteration (assign gather + update matmul).

@@ -147,11 +147,3 @@ def test_cluster_plan_rules():
     assert plan2[6].cluster_num == 160
 
 
-def test_pallas_backend_in_cluster_layer(rng):
-    """kmedoids_backend='pallas' routes through the fused kernel (interpret
-    mode off-TPU) and matches the XLA backend."""
-    B, T, P1, D = 2, 4, 5, 8
-    x = rng.normal(size=(B * T, P1, D)).astype(np.float32)
-    out_xla = _apply("kmediods++", x)
-    out_pl = _apply("kmediods++", x, cfg_kw={"kmedoids_backend": "pallas"})
-    np.testing.assert_allclose(out_pl, out_xla, rtol=1e-5, atol=1e-6)
