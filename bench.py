@@ -4,7 +4,7 @@
 Headline metric: **video-encode clips/sec/chip** on the BASELINE.json
 north-star config — ViT-B/32, 12 frames, kmediods++ 12->6 token clustering,
 bf16 activations, **uint8 frames normalised on device** (the shipped data
-path), batch 64 clips, chained-dispatch slope timing (see `device_time`).
+path), batch 32 clips, chained-dispatch slope timing (see `device_time`).
 
 `vs_baseline` is the multiple over the PyTorch GPU reference.  The reference
 publishes no encode throughput, so the denominator is derived and documented
@@ -34,7 +34,10 @@ V5E_BF16_PEAK = 197e12          # TFLOP/s, TPU v5e chip
 RTX3090_FP16_PEAK = 71e12       # fp16 tensor core, fp32 accumulate (AMP)
 GPU_ASSUMED_MFU = 0.40          # generous for eager torch ViT inference
 REF_KMEDOIDS_S = 4.30 / 10      # RTX 3090, modules/cluster/test.py:196-206
-ENCODE_BATCH = 64
+# B=64 reproducibly crashes the tunnelled TPU worker (see
+# benchmarks/encode_ablation.py); 32 is the largest reliable batch and
+# throughput is flat 32 -> 64 on v5e, so start there.
+ENCODE_BATCH = 32
 ENCODE_RUNS = 5
 KM_B, KM_N, KM_D, KM_K = 384, 196, 768, 49
 KM_RUNS = 10
@@ -161,7 +164,7 @@ def main():
     flops = vit_b32_flops_per_clip()
     gpu_ref = RTX3090_FP16_PEAK * GPU_ASSUMED_MFU / flops
     clips, used_b = None, None
-    for b in (ENCODE_BATCH, 32, 16):
+    for b in (ENCODE_BATCH, 16):
         clips = _run_child(["--encode", str(b)])
         if clips is not None:
             used_b = b
