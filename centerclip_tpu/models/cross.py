@@ -11,6 +11,10 @@ clip4clip.py:178).
 """
 from __future__ import annotations
 
+import dataclasses
+import json
+import os
+import shutil
 from dataclasses import dataclass
 
 import flax.linen as nn
@@ -31,6 +35,35 @@ class CrossConfig:
     vocab_size: int = 512
     type_vocab_size: int = 2
     initializer_range: float = 0.02
+
+    @classmethod
+    def get_config(cls, name_or_path: str = "cross-base",
+                   cache_dir=None, **overrides) -> "CrossConfig":
+        """Resolve a cross-model archive name to a config.
+
+        Mirrors `PretrainedConfig.get_config` (reference base.py:34-73):
+        a name is first tried relative to this module (the shipped
+        `cross-base/` dir), then handed to the URL/S3/tar.gz resolver
+        (utils/file_cache.py).  JSON keys the flax model has no use for
+        (dropout probs, `hidden_act` — inference uses none, training uses
+        the reference's defaults implicitly) are ignored; `overrides` win
+        last, the slot the reference fills via `update_attr`."""
+        from ..utils.file_cache import resolve_archive_dir
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             str(name_or_path))
+        target = local if os.path.exists(local) else name_or_path
+        serialization_dir, tempdir = resolve_archive_dir(target, cache_dir)
+        try:
+            with open(os.path.join(serialization_dir,
+                                   "cross_config.json")) as f:
+                raw = json.load(f)
+        finally:
+            if tempdir:
+                shutil.rmtree(tempdir, ignore_errors=True)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in raw.items() if k in known}
+        kw.update(overrides)
+        return cls(**kw)
 
 
 class CrossModel(nn.Module):
