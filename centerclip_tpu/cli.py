@@ -92,8 +92,8 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     p.add_argument("--precision", type=str, default="amp",
                    choices=["amp", "fp16", "fp32", "bf16"])
     p.add_argument("--fused_attention", type=int, default=1,
-                   help="fused Pallas attention in the tower forward "
-                        "(inference path; ignored on non-TPU backends)")
+                   help="fused Pallas attention in the eval/encode tower "
+                        "forwards (ignored on non-TPU backends)")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize transformer blocks on backward "
                         "(activation-memory relief for long-video configs)")

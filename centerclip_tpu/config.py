@@ -197,11 +197,13 @@ class ModelConfig:
     # answer to the ActivityNet 60-75-frame OOM configs the reference handles
     # with 8-32 GPUs (README.md:86, scripts/activitynet.sh:90)
     remat: bool = False
-    # fused Pallas attention kernel for the (inference) tower forward.  XLA's
-    # attention lowering at CLIP's tiny sequence lengths is copy-bound (~25%
-    # of the encode step in layout copies on v5e); the kernel keeps
-    # logits/softmax in VMEM.  Training falls back to the XLA path (the
-    # kernel defines no VJP), as does any non-TPU backend.
+    # fused Pallas attention kernel for the (eval/encode) tower forwards.
+    # XLA's attention lowering at CLIP's tiny sequence lengths is copy-bound
+    # (~25% of the encode step in layout copies on v5e); the kernel keeps
+    # logits/softmax in VMEM.  It carries a tested custom VJP, but measured
+    # end-to-end the train step is faster on the XLA path (see
+    # ops/attention_pallas.py crossover table), so training and non-TPU
+    # backends use XLA.
     fused_attention: bool = True
 
     def __post_init__(self):

@@ -44,8 +44,8 @@ class MultiHeadAttention(nn.Module):
 
     With `fused=True` on a TPU backend the score/softmax/PV stage runs in
     the fused Pallas kernel (ops/attention_pallas.py) — same math, no
-    layout copies, fp32 logits never leave VMEM.  The kernel defines no
-    VJP, so callers must only set it on non-differentiated forwards.
+    layout copies, fp32 logits never leave VMEM, and the custom VJP
+    recomputes probabilities in VMEM on backward.
     """
     width: int
     heads: int
@@ -61,7 +61,10 @@ class MultiHeadAttention(nn.Module):
         qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
                        name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.fused and jax.default_backend() != "cpu":
+        from ..ops.attention_pallas import (FUSED_MAX_ROWS_X_SEQ,
+                                            FUSED_MIN_ROWS_X_SEQ)
+        if (self.fused and jax.default_backend() != "cpu"
+                and FUSED_MIN_ROWS_X_SEQ <= B * L <= FUSED_MAX_ROWS_X_SEQ):
             from ..ops.attention_pallas import fused_mha
             out = fused_mha(q, k, v, attn_mask, heads=H)
             return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,

@@ -100,3 +100,41 @@ def test_fused_compiled_matches_xla_on_tpu():
     out = np.asarray(fused_mha(q, k, v, heads=H), np.float32)
     ref = np.asarray(xla_mha(q, k, v, H), np.float32)
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+# --------------------------------------------------------------- custom VJP
+def test_fused_grads_match_xla_fp32():
+    rng = np.random.default_rng(4)
+    B, L, H, hd, G = 5, 40, 4, 32, 2     # B % group != 0 exercises pad-bwd
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+               for _ in range(3))
+    w = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_mha(q, k, v, heads=H, group=G,
+                                 interpret=True) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_mha(q, k, v, H) * w)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_fused_mask_cotangent_matches_xla():
+    rng = np.random.default_rng(5)
+    B, L, H, hd = 3, 32, 4, 32
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
+
+    gf = jax.grad(lambda m: jnp.sum(
+        fused_mha(q, k, v, m, heads=H, group=2, interpret=True) ** 2))(mask)
+    gx = jax.grad(lambda m: jnp.sum(xla_mha(q, k, v, H, m) ** 2))(mask)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=2e-4, atol=2e-4)
