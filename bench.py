@@ -24,10 +24,21 @@ modules/cluster/test.py:196-206) stays in the same JSON object as
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache (same dir main.py uses): the encode
+# child's first compile is ~5-8 min over the tunnel, ~seconds when cached.
+# Must be a runtime config update — sitecustomize pre-imports jax, so the
+# env var is frozen before any user code runs (see main.py).
+import jax  # noqa: E402
+
+if not jax.config.jax_compilation_cache_dir:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
 
 # --- constants -----------------------------------------------------------
 V5E_BF16_PEAK = 197e12          # TFLOP/s, TPU v5e chip

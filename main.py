@@ -22,9 +22,14 @@ def main(argv=None):
     cfg = parse_args(argv)
 
     # persistent XLA compilation cache: first-compile of the full train step
-    # is minutes; subsequent runs hit the cache
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/jax_comp_cache"))
+    # is minutes; subsequent runs hit the cache.  NB the env var is useless
+    # here — this image's sitecustomize.py pre-imports jax at interpreter
+    # startup, so the config default is already frozen; only a runtime
+    # config update takes effect.
+    import jax as _jax
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update("jax_compilation_cache_dir",
+                           os.path.expanduser("~/.cache/jax_comp_cache"))
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax
         jax.distributed.initialize()
