@@ -62,9 +62,12 @@ class MultiHeadAttention(nn.Module):
                        name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         from ..ops.attention_pallas import (FUSED_MAX_ROWS_X_SEQ,
-                                            FUSED_MIN_ROWS_X_SEQ)
+                                            FUSED_MIN_ROWS_X_SEQ,
+                                            FUSED_MIN_SEQ_ALWAYS)
         if (self.fused and jax.default_backend() != "cpu"
-                and FUSED_MIN_ROWS_X_SEQ <= B * L <= FUSED_MAX_ROWS_X_SEQ):
+                and (L >= FUSED_MIN_SEQ_ALWAYS
+                     or FUSED_MIN_ROWS_X_SEQ <= B * L
+                     <= FUSED_MAX_ROWS_X_SEQ)):
             from ..ops.attention_pallas import fused_mha
             out = fused_mha(q, k, v, attn_mask, heads=H)
             return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,

@@ -260,16 +260,21 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 _VMEM_BLOCK_BUDGET = 11 * 1024 * 1024
 
 # Static-shape crossover vs the XLA path (all measured on v5e, bf16,
-# end-to-end encode/train steps).  The kernel wins where XLA's lowering is
-# copy-bound — moderate rows*L:
-#   rows*L = 19.2k (ViT-B/32 encode, B=32):       +5%  fused
-#   rows*L = 18.9k (ViT-B/16 encode, B=8):        +16% fused
-#   rows*L = 24k   (ActivityNet 60-frame encode): -3%  fused
-#   rows*L = 4.8k  (train step fwd+bwd, B=8):     -11% fused
-# Outside the band XLA's one batched [B*H, L, L] matmul either fills the
-# MXU (large rows) or its copies are too small to matter (small rows),
-# beating the kernel's serial per-sample unroll.  Callers
-# (models/layers.py) route to XLA outside [MIN, MAX].
+# end-to-end encode/train steps).  Two regimes:
+#
+# Long sequences (L >= FUSED_MIN_SEQ_ALWAYS): XLA's lowering round-trips
+# the fp32 [B, H, L, L] logits and probs through HBM — traffic that grows
+# with L^2 — while the kernel keeps them in VMEM.  Fused wins at every
+# measured row count: ViT-B/16 L=197, B*T=96 rows: +16%; 192 rows: +15%.
+#
+# Short sequences: the L^2 term is small and the win comes only from the
+# per-head layout copies, so the band is narrow (rows*L):
+#   19.2k (ViT-B/32 encode, B=32, L=50):   +5%  fused
+#   24k   (ActivityNet 60-frame, L=50):    -3%  fused
+#   4.8k  (train step fwd+bwd, B=8, L=50): -11% fused
+# Callers (models/layers.py) use the kernel when L >= FUSED_MIN_SEQ_ALWAYS
+# or rows*L falls inside [MIN, MAX].
+FUSED_MIN_SEQ_ALWAYS = 96
 FUSED_MIN_ROWS_X_SEQ = 10_000
 FUSED_MAX_ROWS_X_SEQ = 21_000
 
