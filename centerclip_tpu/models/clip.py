@@ -50,7 +50,7 @@ class TextTransformer(nn.Module):
         for i in range(arch["transformer_layers"]):
             x = block_cls(width, arch["transformer_heads"],
                           dtype, fused=fused, name=f"resblocks_{i}")(x, mask)
-        x = LayerNormF32(name="ln_final")(x).astype(jnp.float32)
+        x = LayerNormF32(fused=fused, name="ln_final")(x).astype(jnp.float32)
         proj = self.param("text_projection",
                           nn.initializers.normal(width ** -0.5),
                           (width, arch["embed_dim"]))
@@ -122,7 +122,8 @@ class VisionTransformer(nn.Module):
         cls_tok = jnp.broadcast_to(cls.astype(dtype), (BT, 1, width))
         x = jnp.concatenate([cls_tok, x], axis=1)
         x = x + pos.astype(dtype)
-        x = LayerNormF32(name="ln_pre")(x)
+        fused = cfg.fused_attention and deterministic
+        x = LayerNormF32(fused=fused, name="ln_pre")(x)
 
         plan = cfg.cluster_plan()
         dplan = deep_cluster_plan(cfg)
@@ -130,7 +131,6 @@ class VisionTransformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if cfg.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
-        fused = cfg.fused_attention and deterministic
         for i in range(arch["vision_layers"]):
             spec = plan[i]
             dspec = dplan[i]
@@ -153,7 +153,7 @@ class VisionTransformer(nn.Module):
                 x = TokenClusterInter(spec=spec, cfg=cfg.cluster, width=width,
                                       name=f"cluster_post_{i}")(x)
 
-        x = LayerNormF32(name="ln_post")(x[:, 0, :]).astype(jnp.float32)
+        x = LayerNormF32(fused=fused, name="ln_post")(x[:, 0, :]).astype(jnp.float32)
         proj = self.param("proj", nn.initializers.normal(width ** -0.5),
                           (width, arch["embed_dim"]))
         return x @ proj, cluster_loss

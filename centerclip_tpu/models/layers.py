@@ -24,8 +24,15 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 class LayerNormF32(nn.Module):
-    """LayerNorm computed in fp32 regardless of activation dtype."""
+    """LayerNorm computed in fp32 regardless of activation dtype.
+
+    (A fused Pallas LN exists as documented research —
+    ops/layernorm_pallas.py; measured end-to-end it LOSES ~5% because
+    XLA fuses this lowering into the consumer matmul, which an opaque
+    kernel call forfeits.  The `fused` flag is accepted for call-site
+    symmetry but ignored.)"""
     epsilon: float = 1e-5
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -120,9 +127,9 @@ class ResidualAttentionBlock(nn.Module):
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
                                    fused=self.fused, name="attn")(
-            LayerNormF32(name="ln_1")(x), attn_mask)
+            LayerNormF32(fused=self.fused, name="ln_1")(x), attn_mask)
         x = x + MLP(self.width, self.dtype, name="mlp")(
-            LayerNormF32(name="ln_2")(x))
+            LayerNormF32(fused=self.fused, name="ln_2")(x))
         return x
 
 
