@@ -138,3 +138,24 @@ def test_fused_mask_cotangent_matches_xla():
     gx = jax.grad(lambda m: jnp.sum(xla_mha(q, k, v, H, m) ** 2))(mask)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_long_seq_per_sample_regime():
+    """L >= FUSED_MIN_SEQ_ALWAYS routes to the per-sample kernel branch
+    (no block-diagonal batching) — outputs and grads must still match."""
+    from centerclip_tpu.ops.attention_pallas import FUSED_MIN_SEQ_ALWAYS
+    rng = np.random.default_rng(6)
+    B, L, H, hd = 5, FUSED_MIN_SEQ_ALWAYS + 5, 4, 32
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
+    out = fused_mha(q, k, v, mask, heads=H, group=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_mha(q, k, v, H, mask)),
+                               rtol=1e-5, atol=1e-5)
+    gf = jax.grad(lambda q: jnp.sum(
+        fused_mha(q, k, v, mask, heads=H, group=2, interpret=True) ** 2))(q)
+    gx = jax.grad(lambda q: jnp.sum(xla_mha(q, k, v, H, mask) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=2e-4, atol=2e-4)
