@@ -117,7 +117,9 @@ def bench_encode_throughput() -> float:
     model = CLIP4Clip(run_cfg.model)
     Bc, T = ENCODE_BATCH, 12
     rng = np.random.default_rng(0)
-    video = jnp.asarray(rng.integers(0, 256, size=(Bc, 1, T, 3, 224, 224)),
+    # 4-D video parameter: a 6-D uint8 input costs an extra layout repack
+    # (see parallel.shard_batch); the model accepts both shapes
+    video = jnp.asarray(rng.integers(0, 256, size=(Bc * T, 3, 224, 224)),
                         jnp.uint8)
     vmask = jnp.ones((Bc, T), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), video=video,

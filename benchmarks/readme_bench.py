@@ -44,7 +44,7 @@ def _encode_fn(run_cfg, Bc: int, frames: int):
     model = CLIP4Clip(run_cfg.model)
     rng = np.random.default_rng(0)
     video = jnp.asarray(
-        rng.integers(0, 256, size=(Bc, 1, frames, 3, 224, 224)), jnp.uint8)
+        rng.integers(0, 256, size=(Bc * frames, 3, 224, 224)), jnp.uint8)
     vmask = jnp.ones((Bc, frames), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), video=video,
                         video_mask=vmask)["params"]
@@ -73,7 +73,7 @@ def row_train8() -> str:
             rng.integers(1, 49000, size=(B, 1, L)), jnp.int32),
         "attention_mask": jnp.ones((B, 1, L), jnp.int32),
         "video": jnp.asarray(
-            rng.integers(0, 256, size=(B, 1, T, 3, 224, 224)), jnp.uint8),
+            rng.integers(0, 256, size=(B * T, 3, 224, 224)), jnp.uint8),
         "video_mask": jnp.ones((B, T), jnp.int32),
     }
     params = model.init(jax.random.PRNGKey(0), training=True, **batch)["params"]

@@ -45,7 +45,17 @@ def shard_batch(mesh: Mesh, batch):
     In multi-host runs each process holds its own slice of the global batch
     (the DistributedSampler analogue) and
     `jax.make_array_from_process_local_data` assembles the global array.
+
+    The video tensor is flattened host-side to [B*pairs*T, C, H, W] (a free
+    numpy view): XLA's chosen tiled layout for a 6-D uint8 device parameter
+    forces an extra full repack before the patchify transpose (~1.1 ms/step
+    at the flagship shape), which the 4-D parameter avoids.  The model
+    accepts either shape (clip4clip.get_visual_output).
     """
+    v = batch.get("video") if hasattr(batch, "get") else None
+    if v is not None and v.ndim == 6:
+        batch = dict(batch)
+        batch["video"] = v.reshape(-1, *v.shape[-3:])
     sharding = batch_sharding(mesh)
     if jax.process_count() > 1:
         return jax.tree.map(

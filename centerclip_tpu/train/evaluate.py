@@ -134,6 +134,10 @@ class Evaluator:
                 video, vmask = video[filt], vmask[filt]
             video_p, vvalid = _pad_to(video, batch_size)
             vmask_p, _ = _pad_to(vmask, batch_size)
+            if video_p.ndim == 6:
+                # ship [B*pairs*T, C, H, W]: a 6-D uint8 device parameter
+                # costs an extra layout repack (see parallel.shard_batch)
+                video_p = video_p.reshape(-1, *video_p.shape[-3:])
             video_p, vmask_p = self._device_put(video_p, vmask_p)
             vis, vmask_after = self._encode_video(self.variables, video_p,
                                                   vmask_p)
