@@ -177,12 +177,15 @@ def main():
     flops = vit_b32_flops_per_clip()
     gpu_ref = RTX3090_FP16_PEAK * GPU_ASSUMED_MFU / flops
     clips, used_b = None, None
-    for b in (ENCODE_BATCH, 16):
+    # a crashed tunnelled worker can take minutes to recover, so retry the
+    # same batch with growing backoff before shrinking it
+    for b, backoff in ((ENCODE_BATCH, 60), (ENCODE_BATCH, 120), (16, 120),
+                       (16, 0)):
         clips = _run_child(["--encode", str(b)])
         if clips is not None:
             used_b = b
             break
-        time.sleep(20)
+        time.sleep(backoff)
     s = None
     for _ in range(2):
         s = _run_child(["--kmedoids"])
