@@ -49,16 +49,21 @@ class Evaluator:
     def __init__(self, model: CLIP4Clip, params, mesh=None):
         self.model = model
         self.mesh = mesh
-        if mesh is not None:
-            from ..parallel.mesh import replicate
-            params = replicate(mesh, params)
-        self.variables = {"params": params}
+        self.update_params(params)
         self._encode_text = jax.jit(functools.partial(
             self._encode_text_impl, model))
         self._encode_video = jax.jit(functools.partial(
             self._encode_video_impl, model))
         self._sim_block = jax.jit(functools.partial(
             self._sim_block_impl, model))
+
+    def update_params(self, params):
+        """Swap in fresh params (per-epoch eval) without re-tracing the
+        jitted encoders."""
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            params = replicate(self.mesh, params)
+        self.variables = {"params": params}
 
     def _device_put(self, *arrays):
         if self.mesh is None:

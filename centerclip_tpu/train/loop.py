@@ -195,6 +195,21 @@ class Trainer:
                              "train/batch_time": batch_time,
                              "train/scale": scale, "train/lr": lr},
                             step=gstep)
+            if micro:
+                # epoch tail: step on the partial accumulator — `finalize`
+                # divides by the true micro count, so the update is the mean
+                # over however many micro-batches remain.  The reference
+                # scales each loss by 1/accum and only steps on accum
+                # boundaries (main.py:316-340), which silently drops the
+                # tail; here no data is lost and main.py sizes
+                # steps_per_epoch with a ceil to match.
+                logger.info("Epoch %d: flushing %d tail micro-batch(es)",
+                            epoch, len(micro))
+                sub = jax.random.fold_in(rng, len(micro) + 2 ** 20)
+                self.state, logs = self._step_fn(self.state, micro, sub)
+                micro = []
+                loss_log.append(logs["loss"])
+                n += 1
         if profiling:
             jax.profiler.stop_trace()
         if loss_log:

@@ -107,14 +107,20 @@ def main(argv=None):
         logger.warning("no pretrained CLIP found at %s - training from "
                        "scratch", pretrained)
 
-    evaluator_of = lambda p: Evaluator(model, p)
+    # Single-process runs shard phase-1 eval encoding over the local data
+    # mesh (all chips busy); multi-process runs keep the reference's
+    # rank-0-only eval (main.py:232-239) — a global mesh would require every
+    # process to participate in each eval dispatch.
+    from centerclip_tpu.parallel.mesh import create_mesh
+    eval_mesh = (create_mesh(cfg.data_parallel)
+                 if jax.process_count() == 1 else None)
     multi_sentence = bool(getattr(test_loader.dataset,
                                   "multi_sentence_per_video", False))
     cut_offs = list(getattr(test_loader.dataset, "cut_off_points", []))
 
     # ---- eval-only path (main.py:232-239)
     if cfg.do_eval and not cfg.do_train:
-        res = evaluator_of(params).evaluate(
+        res = Evaluator(model, params, mesh=eval_mesh).evaluate(
             test_loader, multi_sentence=multi_sentence,
             cut_off_points=cut_offs,
             inference_speed_test=cfg.inference_speed_test)
@@ -123,8 +129,9 @@ def main(argv=None):
 
     # ---- training path (main.py:244-288)
     train_loader, n_train, sampler = slots["train"](cfg, tokenizer)
-    steps_per_epoch = len(train_loader) \
-        // cfg.optim.gradient_accumulation_steps
+    # ceil: the epoch-tail partial accumulator still steps (train/loop.py)
+    accum = cfg.optim.gradient_accumulation_steps
+    steps_per_epoch = (len(train_loader) + accum - 1) // accum
     total_steps = steps_per_epoch * cfg.epochs
     logger.info("train samples: %d, steps/epoch: %d, total steps: %d",
                 n_train, steps_per_epoch, total_steps)
@@ -132,6 +139,11 @@ def main(argv=None):
     trainer = Trainer(cfg, model, params, total_steps=total_steps)
     trainer.metric_writer = MetricWriter(
         os.path.join(cfg.output_dir, "tensorboard"))
+    # reuse the trainer's mesh for per-epoch eval (one Evaluator for the
+    # whole run: its jitted encoders re-trace per instance otherwise)
+    evaluator = Evaluator(
+        model, trainer.state.params,
+        mesh=trainer.mesh if eval_mesh is not None else None)
 
     start_epoch, best_r1, best_epoch = 0, 0.0, -1
     if cfg.resume:
@@ -151,12 +163,15 @@ def main(argv=None):
         logger.info("Epoch %d/%d done in %.1fs, mean loss %.4f", epoch + 1,
                     cfg.epochs, time.time() - t0, loss)
         r1 = 0.0
-        if cfg.do_eval or True:  # reference evaluates every epoch on rank 0
-            if jax.process_index() == 0:
-                res = evaluator_of(trainer.state.params).evaluate(
-                    test_loader, multi_sentence=multi_sentence,
-                    cut_off_points=cut_offs)
-                r1 = res["R1"]
+        # the reference evaluates every epoch on the master rank,
+        # unconditionally (main.py:250-262; --do_eval is its eval-only-and-
+        # exit flag, main.py:232-239)
+        if jax.process_index() == 0:
+            evaluator.update_params(trainer.state.params)
+            res = evaluator.evaluate(
+                test_loader, multi_sentence=multi_sentence,
+                cut_off_points=cut_offs)
+            r1 = res["R1"]
         is_best = r1 > best_r1
         if is_best:
             best_r1, best_epoch = r1, epoch
@@ -167,6 +182,11 @@ def main(argv=None):
                 trainer.state.params, cfg.model,
                 os.path.join(cfg.output_dir, "ckpt.pth.tar"), epoch=epoch,
                 global_step=gstep, best_r1=best_r1)
+        # hold non-zero ranks here while rank 0 evaluates/saves: running
+        # ahead into the next epoch's collectives (or exiting) desyncs the
+        # distributed runtime (see parallel.mesh.process_barrier)
+        from centerclip_tpu.parallel.mesh import process_barrier
+        process_barrier(f"epoch_{epoch}_done")
     logger.info("The best R1 is: %.4f, best_epoch=%d", best_r1, best_epoch)
     return best_r1
 
