@@ -66,3 +66,20 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def process_barrier(name: str, timeout_ms: int = 3600_000) -> None:
+    """Cross-process barrier via the coordination service.
+
+    NOT a device collective: Gloo/ICI collectives carry short rendezvous
+    deadlines (~30 s), while rank-0-only work — per-epoch eval,
+    checkpointing (reference main.py:250-272 does both on the master) —
+    can take minutes.  Without this, a non-zero rank finishing its epoch
+    runs ahead (or exits, tripping the 300 s shutdown barrier and killing
+    rank 0 — observed in tests/test_multiprocess.py).  No-op when
+    single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(
+        name, timeout_in_ms=timeout_ms)

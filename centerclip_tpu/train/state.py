@@ -52,7 +52,21 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
                  "global_step": int(jax.device_get(state.global_step)),
                  "best_r1": float(best_r1)},
     }
-    ckptr = ocp.PyTreeCheckpointer()
+    # The payload is host numpy and only rank 0 calls save (reference
+    # main.py:262-272 master-only checkpointing); orbax's default save
+    # still runs cross-process sync barriers, which deadlocks — and then
+    # kills the job via the 300 s shutdown barrier — when the other ranks
+    # never enter save (observed in tests/test_multiprocess.py).  Restrict
+    # the barrier group to this process.
+    if jax.process_count() > 1:
+        ckptr = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()},
+                barrier_sync_key_prefix=f"proc{jax.process_index()}"))
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
     if os.path.exists(path):
         shutil.rmtree(path)
     ckptr.save(path, payload)

@@ -1,0 +1,81 @@
+# coding=utf-8
+"""Worker for the 2-process jax.distributed smoke (not collected by pytest).
+
+Usage: python tests/_dist_worker.py <process_id> <port> <data_root> <out_dir>
+
+Forces the CPU platform with 4 virtual devices, joins a 2-process Gloo
+cluster (8 global devices), then drives `main.main()` end-to-end on the
+synthetic MSR-VTT fixture — exercising the `process_count > 1` branches:
+per-process loader shards with wrap-around padding (data/loader.py),
+`make_array_from_process_local_data` batch assembly (parallel/mesh.py),
+rank-0-only eval/checkpointing/logging (main.py).
+"""
+import os
+import sys
+
+# conftest-inherited XLA_FLAGS may pin 8 host devices; this worker wants 4
+# per process (2 processes x 4 = the usual 8-device test mesh)
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+flags.append("--xla_force_host_platform_device_count=4")
+os.environ["XLA_FLAGS"] = " ".join(flags)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+pid, port, root, out = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                        sys.argv[4])
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+# Establish the Gloo communicator NOW, while both processes are aligned:
+# the first cross-process collective has a hard 30s key-exchange deadline,
+# and a compile-cache hit on one worker vs a cold compile on the other
+# skews the workers past it if the context is first built mid-run.
+from jax.experimental import multihost_utils  # noqa: E402
+
+multihost_utils.sync_global_devices("dist_worker_warmup")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from centerclip_tpu import config as cfg_mod  # noqa: E402
+
+cfg_mod.CLIP_ARCHS["tiny-dist"] = dict(
+    embed_dim=16, image_resolution=32, vision_layers=2, vision_width=32,
+    vision_patch_size=16, vision_heads=2, context_length=12,
+    vocab_size=49408, transformer_width=32, transformer_heads=2,
+    transformer_layers=2)
+
+argv = [
+    "--do_train", "1", "--do_eval", "1", "--datatype", "msrvtt",
+    "--train_csv", f"{root}/train.csv", "--val_csv", f"{root}/test.csv",
+    "--data_path", f"{root}/MSRVTT_data.json",
+    "--features_path", f"{root}/videos", "--video_suffix", ".npy",
+    "--output_dir", out, "--pretrained_clip_name", "tiny-dist",
+    "--max_words", "12", "--max_frames", "4",
+    "--batch_size", "8", "--batch_size_val", "4",
+    "--epochs", "1", "--optim", "BertAdam", "--lr", "1e-3",
+    "--loose_type", "--sim_header", "meanP", "--expand_msrvtt_sentences",
+    "--cluster_inter", "1", "--cluster_algo", "kmediods++",
+    "--cluster_num_blocks", "3", "3", "--target_frames_blocks", "4", "2",
+    "--precision", "fp32", "--num_thread_reader", "2", "--n_display", "1",
+]
+
+import centerclip_tpu.cli as cli  # noqa: E402
+import main as main_mod  # noqa: E402
+
+_orig = cli.args_to_run_config
+
+
+def _patched(args):
+    import dataclasses
+    cfg = _orig(args)
+    return dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, image_resolution=32))
+
+
+cli.args_to_run_config = _patched
+best_r1 = main_mod.main(argv)
+print(f"DIST_WORKER_OK pid={pid} best_r1={best_r1}", flush=True)
