@@ -167,6 +167,14 @@ class VisionTransformer(nn.Module):
         here it is its own parameter in torch Conv3d layout [O, I, 3, P, P].
         """
         cfg = self.cfg
+        if video.dtype == jnp.uint8:
+            # the uint8 normalisation fold exists only in the 2-D patchify
+            # matmul; a conv can't absorb the per-channel affine without
+            # rewriting its kernel, so raw frames here would be consumed as
+            # 0..255 silently
+            raise ValueError(
+                "uint8 video reached the 3-D patchify — normalise to float "
+                "(CLIP mean/std) before encode_image with linear_patch='3d'")
         P = cfg.arch["vision_patch_size"]
         width = cfg.arch["vision_width"]
         T = cfg.max_frames
@@ -230,6 +238,13 @@ class CLIP(nn.Module):
         """[B*T, 3, H, W] -> ([B*T_final, embed_dim] CLS features fp32,
         cluster_loss)."""
         if self._visual_is_resnet:
+            if video.dtype == jnp.uint8:
+                # no normalisation fold for the ResNet stem (stride-2 convs);
+                # CLIP4Clip.get_visual_output normalises explicitly before
+                # calling in — a direct caller must do the same
+                raise ValueError(
+                    "uint8 video reached the ResNet tower — normalise to "
+                    "float (CLIP mean/std) before encode_image")
             return self.visual(video).astype(jnp.float32), jnp.float32(0.0)
         feats, cluster_loss = self.visual(video, deterministic=deterministic,
                                           rng=rng)

@@ -71,7 +71,12 @@ class MultiHeadAttention(nn.Module):
         from ..ops.attention_pallas import (FUSED_MAX_ROWS_X_SEQ,
                                             FUSED_MIN_ROWS_X_SEQ,
                                             FUSED_MIN_SEQ_ALWAYS)
-        if (self.fused and jax.default_backend() != "cpu"
+        # explicit TPU allowlist: the Mosaic kernel only lowers on TPU-like
+        # backends (this image's tunnel registers as "tpu"; "axon" kept in
+        # case the plugin ever reports its own name) — a GPU backend must
+        # fall through to the XLA path, as the --fused_attention help
+        # promises
+        if (self.fused and jax.default_backend() in ("tpu", "axon")
                 and (L >= FUSED_MIN_SEQ_ALWAYS
                      or FUSED_MIN_ROWS_X_SEQ <= B * L
                      <= FUSED_MAX_ROWS_X_SEQ)):

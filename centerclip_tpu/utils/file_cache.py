@@ -136,10 +136,18 @@ def get_from_cache(url: str, cache_dir: Optional[PathLike] = None) -> str:
                     s3_get(url, temp_file)
                 else:
                     http_get(url, temp_file)
+            # sidecar BEFORE publishing the payload: the reverse order can
+            # be interrupted between the two, leaving a permanent entry
+            # whose filename_to_url raises forever
+            with open(cache_path + ".json", "w") as meta_file:
+                json.dump({"url": url, "etag": etag}, meta_file)
             os.replace(tmp, cache_path)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+    elif not os.path.exists(cache_path + ".json"):
+        # heal an entry published without its sidecar (older versions wrote
+        # the payload first and could be interrupted in between)
         with open(cache_path + ".json", "w") as meta_file:
             json.dump({"url": url, "etag": etag}, meta_file)
     return cache_path

@@ -102,6 +102,18 @@ def test_get_from_cache_downloads_once_per_etag(http_server, tmp_path):
     assert p3 != p1 and open(p3, "rb").read() == b"payload-v2"
 
 
+def test_get_from_cache_heals_missing_sidecar(http_server, tmp_path):
+    """An interrupt used to leave a payload without its .json sidecar, making
+    filename_to_url raise forever (ADVICE r2); now the sidecar is written
+    before the payload is published AND a missing one is re-created."""
+    url = http_server + "/model.bin"
+    p1 = get_from_cache(url, cache_dir=tmp_path)
+    os.unlink(p1 + ".json")  # simulate the legacy interrupted state
+    p2 = get_from_cache(url, cache_dir=tmp_path)
+    assert p2 == p1 and _Handler.hits["GET"] == 1  # no re-download
+    assert filename_to_url(os.path.basename(p1), tmp_path) == (url, '"etag-1"')
+
+
 # ----------------------------------------------------------------- archives
 def _make_targz(tmp_path, name="arch.tar.gz"):
     cfg = {"hidden_size": 256, "num_hidden_layers": 2,

@@ -67,6 +67,26 @@ def test_3d_linear_patch(rng):
     assert out["visual_output"].shape == (8, T, 16)
 
 
+def test_uint8_rejected_outside_2d_patchify(rng):
+    """The uint8 normalisation fold lives only in the 2-D patchify matmul;
+    raw uint8 reaching the 3-D tubelet path must fail loudly instead of
+    being consumed as 0..255 (ADVICE r2)."""
+    run = tiny_cfg(linear_patch="3d", inter=False,
+                   cluster_num_blocks=(), target_frames_blocks=())
+    model, params, batch = _init(run, rng)
+    u8 = np.random.default_rng(0).integers(
+        0, 256, size=batch["video"].shape).astype(np.uint8)
+    # the supported route normalises explicitly before the tubelet conv
+    out = model.apply({"params": params}, video=u8,
+                      video_mask=batch["video_mask"])
+    assert np.isfinite(np.asarray(out["visual_output"])).all()
+    # a direct encode_image call skips that normalisation -> loud failure
+    flat = u8.reshape(-1, *u8.shape[-3:])
+    with pytest.raises(ValueError, match="uint8"):
+        model.apply({"params": params}, flat,
+                    method=lambda m, v: m.clip.encode_image(v))
+
+
 def test_pre_visual_pooling_eval(rng):
     """ActivityNet eval OOM valve (clip4clip.py:237-243): visual features are
     pre-pooled to [B, D] at encode time and the similarity path accepts the
