@@ -13,6 +13,12 @@ Gates (all overridable by env):
                              resized_video/ (or lmdb/)  (~/dataset1/msrvtt)
   CENTERCLIP_MSRVTT_CKPT     released eclip_msrvtt_62 ckpt.best.pth.tar
                              (optional: enables the golden-number tier)
+  CENTERCLIP_LSMDC_DIR       LSMDC root: LSMDC16_challenge_1000_publictect.csv
+                             + video/                   (~/dataset1/lsmdc)
+  CENTERCLIP_LSMDC_CKPT      released eclip_new_abla_lsmdc_04 checkpoint
+  CENTERCLIP_MSVD_DIR        MSVD root: msvd_data/ + resized_video_3fps/
+                             (~/dataset1/msvd)
+  CENTERCLIP_MSVD_CKPT       released eclip_msvd_22 checkpoint
 """
 from __future__ import annotations
 
@@ -146,3 +152,113 @@ def test_golden_msrvtt_eclip62(tmp_path):
     reproduce T2V R@1 = 44.1 (reference README.md:292) within 0.5."""
     res = _run_eval(tmp_path, ["--init_model", CKPT])
     assert abs(res["R1"] - 44.1) < 0.5, res
+
+
+# --------------------------------------------------------------- LSMDC tier
+LSMDC_DIR = os.environ.get(
+    "CENTERCLIP_LSMDC_DIR", os.path.expanduser("~/dataset1/lsmdc"))
+LSMDC_CKPT = os.environ.get("CENTERCLIP_LSMDC_CKPT", "")
+LSMDC_TEST = os.path.join(LSMDC_DIR, "LSMDC16_challenge_1000_publictect.csv")
+
+needs_lsmdc = pytest.mark.skipif(
+    not os.path.exists(LSMDC_TEST),
+    reason=f"LSMDC not staged under {LSMDC_DIR}")
+needs_lsmdc_ckpt = pytest.mark.skipif(
+    not (LSMDC_CKPT and os.path.exists(LSMDC_CKPT)),
+    reason="released eclip_new_abla_lsmdc_04 checkpoint not staged "
+           "(set CENTERCLIP_LSMDC_CKPT)")
+
+
+def _lsmdc_argv(tmp_path, extra):
+    """eclip_new_abla_lsmdc_04 eval config (scripts/lsmdc.sh:90-103:
+    ViT-B/32, kmediods++ p=2.0, 12->6; paths lsmdc.sh:14-16)."""
+    return [
+        "--do_train", "0", "--do_eval", "1", "--datatype", "lsmdc",
+        "--data_path", LSMDC_DIR,
+        "--features_path", os.path.join(LSMDC_DIR, "video"),
+        "--pretrained_dir", PRETRAINED_DIR,
+        "--pretrained_clip_name", "ViT-B/32",
+        "--max_words", "32", "--max_frames", "12",
+        "--sim_header", "meanP", "--loose_type",
+        "--cluster_inter", "1", "--cluster_algo", "kmediods++",
+        "--minkowski_norm_p", "2.0",
+        "--cluster_num_blocks"] + ["49"] * 12 + [
+        "--target_frames_blocks"] + ["12"] * 6 + ["6"] * 6 + [
+        "--batch_size_val", "16", "--output_dir", str(tmp_path),
+    ] + extra
+
+
+def test_lsmdc_argv_parses_to_abla04_config(tmp_path):
+    """Ungated: the LSMDC tier argv parses into the abla_lsmdc_04 config."""
+    from centerclip_tpu.cli import parse_args
+    cfg = parse_args(_lsmdc_argv(tmp_path, []))
+    assert cfg.data.datatype == "lsmdc"
+    assert cfg.model.cluster.minkowski_p == 2.0
+    assert cfg.model.cluster.target_frames_blocks == (12,) * 6 + (6,) * 6
+
+
+@needs_weights
+@needs_lsmdc
+@needs_lsmdc_ckpt
+def test_golden_lsmdc_abla04(tmp_path):
+    """The released eclip_new_abla_lsmdc_04 checkpoint must reproduce
+    T2V R@1 = 21.9 (reference README.md:288) within 0.5."""
+    from main import main
+    res = main(_lsmdc_argv(tmp_path, ["--init_model", LSMDC_CKPT]))
+    assert abs(res["R1"] - 21.9) < 0.5, res
+
+
+# ---------------------------------------------------------------- MSVD tier
+MSVD_DIR = os.environ.get(
+    "CENTERCLIP_MSVD_DIR", os.path.expanduser("~/dataset1/msvd"))
+MSVD_CKPT = os.environ.get("CENTERCLIP_MSVD_CKPT", "")
+MSVD_DATA = os.path.join(MSVD_DIR, "msvd_data")
+
+needs_msvd = pytest.mark.skipif(
+    not os.path.exists(os.path.join(MSVD_DATA, "raw-captions.pkl")),
+    reason=f"MSVD not staged under {MSVD_DIR}")
+needs_msvd_ckpt = pytest.mark.skipif(
+    not (MSVD_CKPT and os.path.exists(MSVD_CKPT)),
+    reason="released eclip_msvd_22 checkpoint not staged "
+           "(set CENTERCLIP_MSVD_CKPT)")
+
+
+def _msvd_argv(tmp_path, extra):
+    """eclip_msvd_22 eval config (scripts/msvd.sh:72-83: ViT-B/32,
+    kmediods++ p=2.0, 12->4; paths msvd.sh:14-16)."""
+    return [
+        "--do_train", "0", "--do_eval", "1", "--datatype", "msvd",
+        "--data_path", MSVD_DATA,
+        "--features_path", os.path.join(MSVD_DIR, "resized_video_3fps"),
+        "--pretrained_dir", PRETRAINED_DIR,
+        "--pretrained_clip_name", "ViT-B/32",
+        "--max_words", "32", "--max_frames", "12",
+        "--sim_header", "meanP", "--loose_type",
+        "--cluster_inter", "1", "--cluster_algo", "kmediods++",
+        "--minkowski_norm_p", "2.0",
+        "--cluster_num_blocks"] + ["49"] * 12 + [
+        "--target_frames_blocks"] + ["12"] * 6 + ["4"] * 6 + [
+        "--batch_size_val", "16", "--output_dir", str(tmp_path),
+    ] + extra
+
+
+def test_msvd_argv_parses_to_msvd22_config(tmp_path):
+    """Ungated: the MSVD tier argv parses into the eclip_msvd_22 config
+    (12->4 frames; multi-sentence protocol comes from the dataset)."""
+    from centerclip_tpu.cli import parse_args
+    cfg = parse_args(_msvd_argv(tmp_path, []))
+    assert cfg.data.datatype == "msvd"
+    assert cfg.model.cluster.target_frames_blocks == (12,) * 6 + (4,) * 6
+    plan = cfg.model.cluster_plan()
+    assert plan[6] is not None
+
+
+@needs_weights
+@needs_msvd
+@needs_msvd_ckpt
+def test_golden_msvd_eclip22(tmp_path):
+    """The released eclip_msvd_22 checkpoint must reproduce T2V R@1 = 47.5
+    (reference README.md:295, multi-sentence protocol) within 0.5."""
+    from main import main
+    res = main(_msvd_argv(tmp_path, ["--init_model", MSVD_CKPT]))
+    assert abs(res["R1"] - 47.5) < 0.5, res
