@@ -83,6 +83,7 @@ def http_server():
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     _Handler.hits = {"GET": 0, "HEAD": 0}
+    _Handler.payload, _Handler.etag = b"payload-v1", '"etag-1"'
     yield f"http://127.0.0.1:{srv.server_port}"
     srv.shutdown()
 
