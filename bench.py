@@ -16,10 +16,23 @@ accumulate, GA102 whitepaper) and is credited a generous 40% MFU — i.e.
 is therefore `vs_baseline >= 3.0` on this line.  `mfu` is measured
 clips/s x FLOPs/clip over the v5e bf16 peak (197 TFLOP/s).
 
-Secondary fields: the reference's own recorded cluster micro-benchmark
-(batch k-medoids X=[384,196,768] K=49; RTX 3090: 0.430 s/run,
-modules/cluster/test.py:196-206) stays in the same JSON object as
-`kmedoids_s_per_run` / `kmedoids_vs_3090`.
+Secondary fields (all in the same JSON object, so the driver record is the
+complete perf claim — VERDICT r2 next #7):
+* `kmedoids_s_per_run` / `kmedoids_vs_3090` — the reference's own recorded
+  cluster micro-benchmark (batch k-medoids X=[384,196,768] K=49; RTX 3090:
+  0.430 s/run, modules/cluster/test.py:196-206).
+* `train_step_ms_b8` — full fused train step (fwd+bwd+AdamW), flagship
+  config, batch 8 (the hot loop of reference main.py:291-378).
+* `vit_b16_clips_s` (+`vit_b16_mfu`) — ViT-B/16, kmediods++ 197->161
+  tokens at block 6, 12->6 frames, B=16.
+* `anet60_clips_s` — ActivityNet long-video config (60 frames -> 15
+  segments, B=8).
+* `attention_kernel_parity` — TPU-gated compiled-numerics assertion
+  (VERDICT r2 next #3): the Mosaic-compiled fused attention kernel's
+  forward AND VJP outputs vs the XLA path at both routing regimes
+  (L=50 block-diagonal, L=197 per-sample), with and without a causal
+  mask, within bf16 tolerance; `attention_kernel_max_err` records the
+  worst deviation observed.
 """
 from __future__ import annotations
 
@@ -88,18 +101,29 @@ def device_time(fn, runs: int) -> float:
     return max(med, 1e-9)
 
 
-def vit_b32_flops_per_clip(frames: int = 12, final_frames: int = 6,
-                           cluster_block: int = 6, tokens: int = 50,
-                           width: int = 768, layers: int = 12,
-                           patch: int = 32) -> float:
-    """Forward FLOPs (2*MACs) of one clip through the clustered ViT-B/32:
+def vit_flops_per_clip(frames: int = 12, final_frames: int = 6,
+                       cluster_block: int = 6, tokens: int = 50,
+                       final_tokens: int = None,
+                       width: int = 768, layers: int = 12,
+                       patch: int = 32) -> float:
+    """Forward FLOPs (2*MACs) of one clip through the clustered ViT:
     dense-layer + attention MACs for `cluster_block` blocks at `frames`
-    frames then the rest at `final_frames` segments, plus patchify."""
-    per_tok_block = 2 * (12 * width * width + 2 * tokens * width)
-    pre = cluster_block * frames * tokens * per_tok_block
-    post = (layers - cluster_block) * final_frames * tokens * per_tok_block
+    frames x `tokens`, then the rest at `final_frames` segments x
+    `final_tokens`, plus patchify."""
+    if final_tokens is None:
+        final_tokens = tokens
+
+    def per_tok_block(n_tok):
+        return 2 * (12 * width * width + 2 * n_tok * width)
+
+    pre = cluster_block * frames * tokens * per_tok_block(tokens)
+    post = (layers - cluster_block) * final_frames * final_tokens \
+        * per_tok_block(final_tokens)
     patchify = frames * (tokens - 1) * 2 * (3 * patch * patch * width)
     return float(pre + post + patchify)
+
+
+vit_b32_flops_per_clip = vit_flops_per_clip
 
 
 def bench_encode_throughput() -> float:
@@ -132,6 +156,152 @@ def bench_encode_throughput() -> float:
 
     dt = device_time(lambda: encode(params, video, vmask), ENCODE_RUNS)
     return Bc / dt
+
+
+def _flagship_cfg(**kw):
+    from centerclip_tpu.config import make_run_config
+    base = dict(clip_name="ViT-B/32", sim_header="meanP", max_words=32,
+                max_frames=12, inter=True, algo="kmediods++",
+                cluster_num_blocks=(49,) * 12,
+                target_frames_blocks=(12,) * 6 + (6,) * 6)
+    base.update(kw)
+    return make_run_config(**base)
+
+
+def _encode_fn(run_cfg, Bc: int, frames: int):
+    import jax
+    import jax.numpy as jnp
+    from centerclip_tpu.models.clip4clip import CLIP4Clip
+    model = CLIP4Clip(run_cfg.model)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.integers(0, 256, size=(Bc * frames, 3, 224, 224)), jnp.uint8)
+    vmask = jnp.ones((Bc, frames), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), video=video,
+                        video_mask=vmask)["params"]
+
+    @jax.jit
+    def encode(params, video, vmask):
+        out = model.apply({"params": params}, video=video, video_mask=vmask)
+        return jnp.sum(out["visual_output"])
+
+    return lambda: encode(params, video, vmask)
+
+
+def bench_b16() -> float:
+    """ViT-B/16 encode clips/s (197 tokens, kmediods++ ->161 tok, 12->6f)."""
+    cfg = _flagship_cfg(clip_name="ViT-B/16", cluster_num_blocks=(160,) * 12)
+    return 16 / device_time(_encode_fn(cfg, 16, 12), ENCODE_RUNS)
+
+
+def bench_anet() -> float:
+    """ActivityNet long-video encode clips/s (60 frames -> 15 segments)."""
+    cfg = _flagship_cfg(max_frames=60,
+                        target_frames_blocks=(60,) * 6 + (15,) * 6)
+    return 8 / device_time(_encode_fn(cfg, 8, 60), ENCODE_RUNS)
+
+
+def bench_train_step() -> float:
+    """Full fused train step (fwd+bwd+AdamW), flagship config, B=8: ms."""
+    import jax
+    import jax.numpy as jnp
+    from centerclip_tpu.models.clip4clip import CLIP4Clip
+    from centerclip_tpu.train.loop import Trainer
+
+    run_cfg = _flagship_cfg()
+    model = CLIP4Clip(run_cfg.model)
+    rng = np.random.default_rng(0)
+    B, T, L = 8, 12, 32
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(1, 49000, size=(B, 1, L)), jnp.int32),
+        "attention_mask": jnp.ones((B, 1, L), jnp.int32),
+        "video": jnp.asarray(
+            rng.integers(0, 256, size=(B * T, 3, 224, 224)), jnp.uint8),
+        "video_mask": jnp.ones((B, T), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), training=True,
+                        **batch)["params"]
+    trainer = Trainer(run_cfg, model, params, total_steps=1000)
+    key = jax.random.PRNGKey(1)
+    state = {"s": trainer.state}
+
+    def step():
+        state["s"], m = trainer._step_fn(state["s"], batch, key)
+        return m["loss"]
+
+    return device_time(step, ENCODE_RUNS) * 1e3
+
+
+def bench_attention_parity() -> dict:
+    """TPU-gated compiled-numerics gate for the fused attention kernel.
+
+    Asserts forward and VJP outputs of the Mosaic-compiled `fused_mha`
+    against the XLA einsum path (the exact math of models/layers.py) at
+    both routing regimes, with and without a causal mask, in bf16.
+    Returns {"ok": bool, "max_err": float, "cases": {...}}."""
+    import jax
+    import jax.numpy as jnp
+    from centerclip_tpu.ops.attention_pallas import fused_mha
+
+    def xla_mha(q, k, v, mask, heads):
+        B, L, D = q.shape
+        hd = D // heads
+        qh = q.reshape(B, L, heads, hd)
+        kh = k.reshape(B, L, heads, hd)
+        vh = v.reshape(B, L, heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh * (hd ** -0.5), kh,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = logits + mask.astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh)
+        return out.reshape(B, L, D)
+
+    def causal(L):
+        m = jnp.full((L, L), -jnp.inf, jnp.float32)
+        return jnp.triu(m, k=1)
+
+    cases, errs = {}, []
+    H, D = 12, 768
+    for name, B, L, use_mask in (
+            ("blockdiag_L50", 384, 50, False),
+            ("blockdiag_L50_causal", 384, 50, True),
+            ("persample_L197", 16, 197, False),
+            ("persample_L197_causal", 16, 197, True)):
+        key = jax.random.PRNGKey(hash(name) % (2 ** 31))
+        kq, kk, kv, kw = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (B, L, D), jnp.bfloat16)
+        k = jax.random.normal(kk, (B, L, D), jnp.bfloat16)
+        v = jax.random.normal(kv, (B, L, D), jnp.bfloat16)
+        w = jax.random.normal(kw, (B, L, D), jnp.bfloat16)
+        mask = causal(L) if use_mask else None
+
+        def loss_f(f):
+            def fn(q, k, v):
+                return jnp.sum(f(q, k, v).astype(jnp.float32)
+                               * w.astype(jnp.float32))
+            return fn
+
+        f_fused = lambda q, k, v: fused_mha(q, k, v, mask, heads=H)
+        f_xla = lambda q, k, v: xla_mha(q, k, v, mask, heads=H)
+        def rel(a, b):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-6))
+
+        fwd_err = rel(jax.jit(f_fused)(q, k, v), jax.jit(f_xla)(q, k, v))
+        g_f = jax.jit(jax.grad(loss_f(f_fused), argnums=(0, 1, 2)))(q, k, v)
+        g_x = jax.jit(jax.grad(loss_f(f_xla), argnums=(0, 1, 2)))(q, k, v)
+        grad_err = max(rel(a, b) for a, b in zip(g_f, g_x))
+        cases[name] = {"fwd": round(fwd_err, 5), "grad": round(grad_err, 5)}
+        errs += [fwd_err, grad_err]
+    # both paths do fp32 logits/softmax and fp32-accumulated bf16 matmuls;
+    # the residual is bf16 rounding at different points — a real Mosaic
+    # miscompile shows up as O(1) relative error
+    tol = 0.03
+    return {"ok": bool(max(errs) <= tol), "max_err": round(max(errs), 5),
+            "cases": cases}
 
 
 def bench_kmedoids() -> float:
@@ -173,6 +343,20 @@ def _run_child(args, timeout=900):
     return None
 
 
+def _run_child_json(args, timeout=900):
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, __file__] + args,
+                           capture_output=True, text=True, timeout=timeout)
+        if r.returncode == 0 and r.stdout.strip():
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        print(f"[bench] child {args} rc={r.returncode}: "
+              f"{r.stderr.strip()[-300:]}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] child {args} failed: {e}", file=sys.stderr)
+    return None
+
+
 def main():
     flops = vit_b32_flops_per_clip()
     gpu_ref = RTX3090_FP16_PEAK * GPU_ASSUMED_MFU / flops
@@ -186,20 +370,38 @@ def main():
             used_b = b
             break
         time.sleep(backoff)
-    s = None
+    secondary = {}
+    for key, args in (("kmedoids", ["--kmedoids"]),
+                      ("train8", ["--train8"]),
+                      ("b16", ["--b16"]),
+                      ("anet", ["--anet"])):
+        val = None
+        for _ in range(2):
+            val = _run_child(args, timeout=1500)
+            if val is not None:
+                break
+            time.sleep(30)
+        secondary[key] = val
+    parity = None
     for _ in range(2):
-        s = _run_child(["--kmedoids"])
-        if s is not None:
+        parity = _run_child_json(["--attnparity"], timeout=1500)
+        if parity is not None:
             break
-        time.sleep(20)
+        time.sleep(30)
+
+    s = secondary["kmedoids"]
+    b16_flops = vit_flops_per_clip(tokens=197, final_tokens=161, patch=16)
+    anet_flops = vit_flops_per_clip(frames=60, final_frames=15)
     out = {
         "metric": "ViT-B/32 encode clips/s/chip (12f, kmediods++ 12->6, "
-                  f"bf16, uint8 in, B={used_b or ENCODE_BATCH}; ref = "
-                  f"derived RTX3090 @ {GPU_ASSUMED_MFU:.0%} MFU = "
-                  f"{gpu_ref:.0f} clips/s)",
+                  f"bf16, uint8 in, B={used_b or ENCODE_BATCH}; baseline = "
+                  f"ESTIMATED RTX3090 @ {GPU_ASSUMED_MFU:.0%} MFU = "
+                  f"{gpu_ref:.0f} clips/s — derived, not measured: the "
+                  "reference publishes no encode throughput)",
         "value": round(clips, 2) if clips else None,
         "unit": "clips/s/chip",
         "vs_baseline": round(clips / gpu_ref, 3) if clips else None,
+        "vs_baseline_basis": "estimated (derived GPU denominator)",
         "mfu": round(clips * flops / V5E_BF16_PEAK, 4) if clips else None,
         "encode_batch": used_b,
         "flops_per_clip_g": round(flops / 1e9, 1),
@@ -209,6 +411,19 @@ def main():
                          f"{flops / 1e9:.1f} GFLOP per clip",
         "kmedoids_s_per_run": round(s, 5) if s else None,
         "kmedoids_vs_3090": round(REF_KMEDOIDS_S / s, 2) if s else None,
+        "train_step_ms_b8": round(secondary["train8"], 2)
+        if secondary["train8"] else None,
+        "vit_b16_clips_s": round(secondary["b16"], 1)
+        if secondary["b16"] else None,
+        "vit_b16_mfu": round(secondary["b16"] * b16_flops / V5E_BF16_PEAK, 4)
+        if secondary["b16"] else None,
+        "anet60_clips_s": round(secondary["anet"], 1)
+        if secondary["anet"] else None,
+        "anet60_mfu": round(secondary["anet"] * anet_flops / V5E_BF16_PEAK, 4)
+        if secondary["anet"] else None,
+        "attention_kernel_parity": parity["ok"] if parity else None,
+        "attention_kernel_max_err": parity["max_err"] if parity else None,
+        "attention_kernel_cases": parity["cases"] if parity else None,
     }
     print(json.dumps(out))
 
@@ -219,5 +434,13 @@ if __name__ == "__main__":
         print(bench_encode_throughput())
     elif len(sys.argv) > 1 and sys.argv[1] == "--kmedoids":
         print(bench_kmedoids())
+    elif len(sys.argv) > 1 and sys.argv[1] == "--train8":
+        print(bench_train_step())
+    elif len(sys.argv) > 1 and sys.argv[1] == "--b16":
+        print(bench_b16())
+    elif len(sys.argv) > 1 and sys.argv[1] == "--anet":
+        print(bench_anet())
+    elif len(sys.argv) > 1 and sys.argv[1] == "--attnparity":
+        print(json.dumps(bench_attention_parity()))
     else:
         main()
