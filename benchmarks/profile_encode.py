@@ -9,6 +9,14 @@ the tunnelled TPU: `jax.profiler.trace` writes
 TensorBoard needed.
 
 Run: python benchmarks/profile_encode.py [batch] [steps]
+
+CAVEAT (measured, round 3): per-op attribution in these traces
+over-counts.  The trace blamed ~6 ms/step on LayerNorm reduce fusions
+(~0.5 ms x 13 visible instances), but ablating LayerNorm to identity
+moved the end-to-end step by only ~1 ms (+3.8%), and moving the
+reductions to MXU dots (verified in the optimized HLO) moved it 0%.
+Treat the category split as a hypothesis generator; confirm any target
+with an end-to-end ablation before optimizing it.
 """
 from __future__ import annotations
 

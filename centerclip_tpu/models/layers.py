@@ -30,7 +30,19 @@ class LayerNormF32(nn.Module):
     ops/layernorm_pallas.py; measured end-to-end it LOSES ~5% because
     XLA fuses this lowering into the consumer matmul, which an opaque
     kernel call forfeits.  The `fused` flag is accepted for call-site
-    symmetry but ignored.)"""
+    symmetry but ignored.)
+
+    Round-3 negative result — do NOT re-chase the profiler here: the XLA
+    trace attributes ~0.5 ms/instance to these LNs' mean/var reduce
+    fusions (~6 ms of a 27 ms encode step).  Rewriting the stats as MXU
+    dots against a ones vector (with an optimization_barrier so the
+    simplifier can't undo it; verified gone from the optimized HLO)
+    changed end-to-end encode by 0% at both Precision.HIGHEST and HIGH —
+    and the decisive ablation, replacing LN with identity entirely,
+    gained only +3.8% (1220 vs 1175 clips/s).  All of LayerNorm is worth
+    ~1 ms/step end-to-end; the per-op attribution over-counts intervals
+    that overlap with other work.  Falsify with an ablation before
+    optimizing anything the trace blames."""
     epsilon: float = 1e-5
     fused: bool = False
 

@@ -102,6 +102,12 @@ _SCORE_BUDGET = 4 * 1024 * 1024
 #   issue-bound.  Eval never differentiates, and the `deterministic`
 #   gate keeps training off the kernel, so this path is cold; routed-in
 #   use of the VJP at long L should prefer the XLA path.
+# * Band floor 10k -> 9k (routes the 9.6k post-cluster encode blocks
+#   through the kernel): end-to-end encode 1178 vs 1186 c/s — no win,
+#   floor stays at 10k.  Group-size sweep at B=384/L=50 (G=2..16,
+#   benchmarks/attn_group_sweep.py): differences are inside the ±40%
+#   tunnel micro-bench noise; only end-to-end numbers (±2%) can
+#   adjudicate routing changes.
 FUSED_MIN_SEQ_ALWAYS = 96
 FUSED_MIN_ROWS_X_SEQ = 10_000
 FUSED_MAX_ROWS_X_SEQ = 30_000
