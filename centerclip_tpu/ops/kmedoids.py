@@ -35,10 +35,11 @@ import numpy as np
 from .distances import pairwise_distance
 
 # Barrier-free fixed-step switch: when the caller's iter_limit is at least
-# this, the convergence while_loop is replaced by FIXED_ITER_CAP unrolled
-# Lloyd steps (see batch_fast_kmedoids).  Cap = 2x the observed worst-case
-# iterations-to-convergence (max 6, p99.9 6, mean 2.9 over 380 inputs —
-# benchmarks/kmedoids_iters_study.py).
+# this, the first FIXED_ITER_CAP Lloyd steps run unrolled (no per-step
+# convergence barrier) and a residual while_loop covers the — never yet
+# observed — case of an input that needs more (see batch_fast_kmedoids).
+# Cap = 2x the observed worst-case iterations-to-convergence (max 6,
+# p99.9 6, mean 2.9 over 380 inputs — benchmarks/kmedoids_iters_study.py).
 FIXED_ITER_CAP = 12
 
 
@@ -154,29 +155,6 @@ def batch_fast_kmedoids(X: jax.Array, K: int, distance: str = "euclidean",
     meds0 = kkz_init(X, D, K)
     assign0 = jnp.zeros(X.shape[:2], jnp.int32)
 
-    if iter_limit >= FIXED_ITER_CAP:
-        # Barrier-free fixed-step path (the runtime default, iter_limit=100):
-        # fully unrolled, no convergence check, no shift reduction — every
-        # while_loop round cost a ~450us scheduling barrier on the tunnelled
-        # TPU for ~30us of matmuls.  Lloyd with KKZ init is a fixed point
-        # and the measured iterations-to-convergence distribution
-        # (benchmarks/kmedoids_iters_study.py: 380 inputs across gaussians,
-        # blobs at 3 separations, random-ViT tokens, cosine+euclidean,
-        # N in {100, 196}, K=49) is mean 2.9 / p99.9 = 6 / max = 6, so
-        # FIXED_ITER_CAP = 12 runs 2x the observed worst case; converged
-        # samples make the extra steps exact no-ops and results equal the
-        # while_loop's (tests/test_kmedoids.py pins the equality).
-        meds, assign = meds0, assign0
-        for _ in range(FIXED_ITER_CAP):
-            assign = _assign_step(D, meds)
-            meds = _update_step(D, assign, K)
-        # like the while_loop exit state, `assign` pairs with the
-        # penultimate medoid set; id_sort (the runtime default) re-assigns
-        if id_sort:
-            meds = jnp.sort(meds, axis=1)
-            assign = _assign_step(D, meds)
-        return assign, meds
-
     def cond(state):
         step, _, _, shift = state
         return jnp.logical_and(step < iter_limit, shift >= threshold)
@@ -210,8 +188,34 @@ def batch_fast_kmedoids(X: jax.Array, K: int, distance: str = "euclidean",
                 jnp.where(stop1, a1, a2),
                 jnp.where(stop1, s1, s2))
 
-    _, meds, assign, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), meds0, assign0, jnp.float32(jnp.inf)))
+    if iter_limit >= FIXED_ITER_CAP:
+        # Barrier-free fixed-step fast path (the runtime default,
+        # iter_limit=100): FIXED_ITER_CAP unrolled Lloyd steps with no
+        # per-step convergence check — every while_loop round cost a ~450us
+        # scheduling barrier on the tunnelled TPU for ~30us of matmuls.
+        # Lloyd with KKZ init is a fixed point, and the measured
+        # iterations-to-convergence distribution
+        # (benchmarks/kmedoids_iters_study.py: 380 inputs across gaussians,
+        # blobs at 3 separations, random-ViT tokens, cosine+euclidean,
+        # N in {100, 196}, K=49) is mean 2.9 / p99.9 = 6 / max = 6, so the
+        # cap runs 2x the observed worst case; converged samples make the
+        # extra steps exact no-ops.  The caller's convergence contract
+        # (iterate to shift < threshold, hard cap iter_limit) is still
+        # honored exactly: the final unrolled step computes the shift and a
+        # residual while_loop takes over iff the cap was not enough — for
+        # any input that converged within the cap, the shift is 0 and the
+        # residual loop exits on its first (cheap) cond evaluation
+        # (tests/test_kmedoids.py pins equality against the pure loop).
+        meds, assign = meds0, assign0
+        for _ in range(FIXED_ITER_CAP - 1):
+            assign = _assign_step(D, meds)
+            meds = _update_step(D, assign, K)
+        meds, assign, shift = lloyd(meds)
+        init = (jnp.int32(FIXED_ITER_CAP), meds, assign, shift)
+    else:
+        init = (jnp.int32(0), meds0, assign0, jnp.float32(jnp.inf))
+
+    _, meds, assign, _ = jax.lax.while_loop(cond, body, init)
 
     if id_sort:
         meds = jnp.sort(meds, axis=1)

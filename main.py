@@ -111,20 +111,24 @@ def main(argv=None):
     # mesh (all chips busy); multi-process runs keep the reference's
     # rank-0-only eval (main.py:232-239) — a global mesh would require every
     # process to participate in each eval dispatch.
-    from centerclip_tpu.parallel.mesh import create_mesh
-    eval_mesh = (create_mesh(cfg.data_parallel)
-                 if jax.process_count() == 1 else None)
+    from centerclip_tpu.parallel.mesh import create_mesh, process_barrier
+    use_local_mesh = jax.process_count() == 1
     multi_sentence = bool(getattr(test_loader.dataset,
                                   "multi_sentence_per_video", False))
     cut_offs = list(getattr(test_loader.dataset, "cut_off_points", []))
 
-    # ---- eval-only path (main.py:232-239)
+    # ---- eval-only path (main.py:232-239: eval runs on the master rank
+    # only; other ranks wait so jax.distributed shuts down cleanly)
     if cfg.do_eval and not cfg.do_train:
-        res = Evaluator(model, params, mesh=eval_mesh).evaluate(
-            test_loader, multi_sentence=multi_sentence,
-            cut_off_points=cut_offs,
-            inference_speed_test=cfg.inference_speed_test)
-        logger.info("eval R@1: %.2f", res["R1"])
+        res = None
+        if jax.process_index() == 0:
+            mesh = create_mesh(cfg.data_parallel) if use_local_mesh else None
+            res = Evaluator(model, params, mesh=mesh).evaluate(
+                test_loader, multi_sentence=multi_sentence,
+                cut_off_points=cut_offs,
+                inference_speed_test=cfg.inference_speed_test)
+            logger.info("eval R@1: %.2f", res["R1"])
+        process_barrier("eval_only_done")
         return res
 
     # ---- training path (main.py:244-288)
@@ -143,7 +147,7 @@ def main(argv=None):
     # whole run: its jitted encoders re-trace per instance otherwise)
     evaluator = Evaluator(
         model, trainer.state.params,
-        mesh=trainer.mesh if eval_mesh is not None else None)
+        mesh=trainer.mesh if use_local_mesh else None)
 
     start_epoch, best_r1, best_epoch = 0, 0.0, -1
     if cfg.resume:
@@ -185,7 +189,6 @@ def main(argv=None):
         # hold non-zero ranks here while rank 0 evaluates/saves: running
         # ahead into the next epoch's collectives (or exiting) desyncs the
         # distributed runtime (see parallel.mesh.process_barrier)
-        from centerclip_tpu.parallel.mesh import process_barrier
         process_barrier(f"epoch_{epoch}_done")
     logger.info("The best R1 is: %.4f, best_epoch=%d", best_r1, best_epoch)
     return best_r1

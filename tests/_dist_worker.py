@@ -77,5 +77,23 @@ def _patched(args):
 
 
 cli.args_to_run_config = _patched
+
+# capture this rank's epoch loss: rank-1 log records are dropped by the
+# process-0 filter, so the cross-rank loss-agreement assertion in
+# test_multiprocess.py needs the loss on stdout from every rank
+from centerclip_tpu.train.loop import Trainer  # noqa: E402
+
+_orig_epoch = Trainer.train_epoch
+_losses = []
+
+
+def _capture(self, *a, **k):
+    loss, gstep = _orig_epoch(self, *a, **k)
+    _losses.append(loss)
+    return loss, gstep
+
+
+Trainer.train_epoch = _capture
 best_r1 = main_mod.main(argv)
-print(f"DIST_WORKER_OK pid={pid} best_r1={best_r1}", flush=True)
+print(f"DIST_WORKER_OK pid={pid} best_r1={best_r1} "
+      f"mean_loss={_losses[-1]:.6f}", flush=True)

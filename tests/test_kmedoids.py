@@ -109,6 +109,31 @@ def test_fixed_cap_equals_while_loop(rng):
         np.testing.assert_array_equal(np.asarray(m_fix), np.asarray(m_wl))
 
 
+def test_residual_loop_covers_slow_convergence(rng, monkeypatch):
+    """When an input needs more Lloyd iterations than FIXED_ITER_CAP, the
+    residual while_loop must carry it to convergence — the caller's
+    iter_limit/threshold contract holds regardless of the cap.  The cap is
+    shrunk to 1 so structureless gaussians (mean ~3 iterations to converge)
+    overflow it; each variant uses a distinct iter_limit because iter_limit
+    is a static jit arg and the cap is read at trace time (reusing one
+    value would silently replay a stale compiled path)."""
+    import centerclip_tpu.ops.kmedoids as km
+    B, N, D, K = 4, 60, 12, 7
+    x = rng.normal(size=(B, N, D)).astype(np.float32)
+
+    monkeypatch.setattr(km, "FIXED_ITER_CAP", 999)  # pure while_loop
+    a_ref, m_ref = km.batch_fast_kmedoids(x, K, iter_limit=58)
+    a_cut, m_cut = km.batch_fast_kmedoids(x, K, iter_limit=1)
+    # precondition: this data genuinely needs >1 iteration, so a cap of 1
+    # without the residual loop would return the wrong answer
+    assert not np.array_equal(np.asarray(m_ref), np.asarray(m_cut))
+
+    monkeypatch.setattr(km, "FIXED_ITER_CAP", 1)    # unroll 1 + residual
+    a_fix, m_fix = km.batch_fast_kmedoids(x, K, iter_limit=57)
+    np.testing.assert_array_equal(np.asarray(a_fix), np.asarray(a_ref))
+    np.testing.assert_array_equal(np.asarray(m_fix), np.asarray(m_ref))
+
+
 def test_pre_norm(rng):
     x = make_blobs(rng, 3, 30, 8, 3)
     a1, m1 = batch_fast_kmedoids(x, 3, pre_norm=True)

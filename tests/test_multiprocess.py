@@ -81,9 +81,10 @@ def test_two_process_train_eval(msrvtt_root, tmp_path):
     assert not os.path.exists(os.path.join(outs[1], "ckpt_0"))
     assert not os.path.exists(os.path.join(outs[1], "ckpt.pth.tar"))
     # both workers agree on the training loss (same global batches through
-    # make_array_from_process_local_data)
+    # make_array_from_process_local_data); each rank prints its own loss to
+    # stdout because rank-1 log records are dropped by the process-0 filter
     import re
-    m0 = re.search(r"mean loss (\d+\.\d+)", logs[0])
-    m1 = re.search(r"mean loss (\d+\.\d+)", logs[1])
-    if m0 and m1:
-        assert abs(float(m0.group(1)) - float(m1.group(1))) < 1e-4
+    m0 = re.search(r"mean_loss=(\d+\.\d+)", logs[0])
+    m1 = re.search(r"mean_loss=(\d+\.\d+)", logs[1])
+    assert m0 and m1, "worker stdout is missing the mean_loss line"
+    assert abs(float(m0.group(1)) - float(m1.group(1))) < 1e-4
