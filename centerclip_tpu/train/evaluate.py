@@ -123,8 +123,12 @@ class Evaluator:
             if batch_size is None:
                 batch_size = self._pad_target(ids.shape[0])
             ids_p, valid = _pad_to(ids, batch_size)
-            seq = np.asarray(self._encode_text(
-                self.variables, self._device_put(ids_p)))[:valid]
+            # device arrays accumulate un-fetched: every batch's encode is
+            # queued back-to-back and the single fetch below overlaps the
+            # whole phase with the host loop — a per-batch np.asarray would
+            # insert one tunnel round-trip of dead time per batch
+            seq = self._encode_text(self.variables,
+                                    self._device_put(ids_p))[:valid]
             seq_list.append(seq)
 
             video = np.asarray(batch["video"])
@@ -146,8 +150,12 @@ class Evaluator:
             video_p, vmask_p = self._device_put(video_p, vmask_p)
             vis, vmask_after = self._encode_video(self.variables, video_p,
                                                   vmask_p)
-            vis_list.append(np.asarray(vis)[:vvalid])
-            vmask_list.append(np.asarray(vmask_after)[:vvalid])
+            vis_list.append(vis[:vvalid])
+            vmask_list.append(vmask_after[:vvalid])
+        # one blocking fetch for the whole phase (also the time fence: over
+        # the tunnel only a host transfer truly synchronises)
+        seq_list, vis_list, vmask_list = jax.device_get(
+            (seq_list, vis_list, vmask_list))
         infer_time = time.time() - t0
         return {
             "sequence": np.concatenate(seq_list, axis=0),
@@ -167,9 +175,9 @@ class Evaluator:
         n = seq.shape[0]
         for s in range(0, n, text_block):
             blk = jnp.asarray(seq[s:s + text_block])
-            rows.append(np.asarray(
-                self._sim_block(self.variables, blk, vis, vmask)))
-        return np.concatenate(rows, axis=0)
+            # queue all blocks, fetch once (see cache_features)
+            rows.append(self._sim_block(self.variables, blk, vis, vmask))
+        return np.concatenate(jax.device_get(rows), axis=0)
 
     def evaluate(self, batches, multi_sentence: bool = False,
                  cut_off_points: Optional[List[int]] = None,

@@ -71,10 +71,13 @@ def make_train_step(model: CLIP4Clip, tx, accum_steps: int = 1
         return state.replace(params=params, opt_state=opt_state,
                              global_step=state.global_step + 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def fused_step(state: TrainState, batch, rng):
         """Single-micro-batch fast path: forward+backward+update in one
-        compilation."""
+        compilation.  The state is donated: params and both Adam moments
+        are updated in place (same shapes/shardings in and out), saving
+        ~1.4 GB of HBM copies per step for ViT-B/32 — callers must rebind
+        to the returned state (Trainer.train_epoch always does)."""
         loss, sim_loss, cluster_loss, grads = _grad(state.params, batch, rng)
         new_state = _apply(state, grads)
         return new_state, {"loss": loss, "sim_loss": sim_loss,
@@ -91,10 +94,12 @@ def make_train_step(model: CLIP4Clip, tx, accum_steps: int = 1
         acc = jax.tree.map(jnp.add, acc, grads)
         return jnp.stack([loss, sim_loss, cluster_loss]), acc
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def finalize(state: TrainState, acc, losses):
         """Average grads (reference's loss/accum division, main.py:316-317),
-        apply the update, reduce the [accum, 3] loss log to means."""
+        apply the update, reduce the [accum, 3] loss log to means.  Both
+        the state (updated in place, see fused_step) and the spent grad
+        accumulator are donated."""
         grads = jax.tree.map(lambda g: g / losses.shape[0], acc)
         new_state = _apply(state, grads)
         mean = jnp.mean(losses, axis=0)

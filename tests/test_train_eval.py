@@ -103,12 +103,14 @@ def test_grad_accumulation(rng):
     mbs = [make_batch(np.random.default_rng(9), 8),
            make_batch(np.random.default_rng(10), 8)]
     state0 = trainer.state
+    # read before stepping: the step donates the state, so state0's buffers
+    # are invalid afterwards
+    gstep0 = int(jax.device_get(state0.global_step))
     new_state, logs = step_fn(state0, mbs, jax.random.PRNGKey(7))
     assert isinstance(logs["loss"], jax.Array)
     assert isinstance(logs["sim_loss"], jax.Array)
     assert np.isfinite(float(jax.device_get(logs["loss"])))
-    assert int(jax.device_get(new_state.global_step)) == \
-        int(jax.device_get(state0.global_step)) + 1
+    assert int(jax.device_get(new_state.global_step)) == gstep0 + 1
 
 
 def test_checkpoint_roundtrip(rng, tmp_path):
