@@ -100,6 +100,10 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
     # parallelism (replaces --world_size/--local_rank/--init_method/--dp/...)
     p.add_argument("--data_parallel", type=int, default=0,
                    help="number of data-parallel devices; 0 = all")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="model-axis shards: transformer matmul weights "
+                        "split Megatron-style over a 2-D (data, model) "
+                        "mesh; 1 = pure data parallel")
     # cluster algorithms
     p.add_argument("--cluster_algo", type=str, default="kmediods++",
                    choices=["kmediods++", "pooling", "sparse_sampling",
@@ -151,6 +155,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         freeze_clip=bool(args.freeze_clip), precision=precision,
         profile_dir=args.profile_dir, profile_steps=args.profile_steps,
         data_parallel=args.data_parallel,
+        tensor_parallel=args.tensor_parallel,
         # model
         clip_name=args.pretrained_clip_name, sim_header=args.sim_header,
         loose_type=args.loose_type, linear_patch=args.linear_patch,

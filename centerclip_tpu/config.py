@@ -312,6 +312,10 @@ class RunConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
     # parallelism: number of data-parallel shards; <=0 means "all devices"
     data_parallel: int = 0
+    # model-axis shards (Megatron-style column/row-parallel transformer
+    # weights over a 2-D (data, model) mesh; 1 = pure data parallel, the
+    # reference's only mode).  See parallel/mesh.py::param_shardings.
+    tensor_parallel: int = 1
 
     # names treated as new-added (non-CLIP lr group) even when nested under
     # the clip tower (reference: params.py:314)
@@ -377,6 +381,12 @@ def make_run_config(**kw) -> RunConfig:
     # ActivityNet pre-pooling (params.py:291-293)
     if data_kw.get("datatype") == "activity":
         model_kw.setdefault("pre_visual_pooling", True)
+    # tensor parallelism shards the attention weights over the model mesh
+    # axis; the Pallas kernel is a single-device program (no manual
+    # partitioning spec), so the towers must take the XLA attention path,
+    # which GSPMD partitions automatically
+    if run_kw.get("tensor_parallel", 1) > 1:
+        model_kw["fused_attention"] = False
     model = ModelConfig(**model_kw)
 
     # per-variant optimizer defaults (params.py:317-321)

@@ -17,17 +17,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def create_mesh(num_devices: int = 0,
-                devices: Optional[list] = None) -> Mesh:
-    """1-D data-parallel mesh.  `num_devices <= 0` uses every visible device
-    (the analogue of the reference counting GPUs, main.py:44-53)."""
+                devices: Optional[list] = None,
+                tensor_parallel: int = 1) -> Mesh:
+    """Device mesh.  `num_devices <= 0` uses every visible device (the
+    analogue of the reference counting GPUs, main.py:44-53).
+
+    `tensor_parallel == 1` (the default, and the reference's only mode)
+    gives the 1-D data mesh.  `tensor_parallel > 1` folds the devices into
+    a 2-D ``(data, model)`` grid: batches stay sharded on `data`, while
+    `param_shardings` splits the transformer matmul weights on `model`
+    (Megatron-style column/row parallelism) — a capability the CUDA
+    reference does not have (it is DDP-only).  The model axis is the
+    fastest-varying so its collectives ride adjacent-chip ICI links."""
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    tp = max(int(tensor_parallel), 1)
+    if tp == 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % tp:
+        raise ValueError(
+            f"tensor_parallel={tp} does not divide {len(devices)} devices")
+    grid = np.asarray(devices).reshape(len(devices) // tp, tp)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -66,6 +83,52 @@ def shard_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def _tp_spec(path, leaf) -> P:
+    """Megatron-style PartitionSpec for one param leaf.
+
+    Column-parallel (split on output features): the fused QKV projection
+    `in_proj` and the MLP up-projection `c_fc` — their biases shard the
+    same way.  Row-parallel (split on input features): `out_proj` and
+    `c_proj`, biases replicated (they add after the contraction).  GSPMD
+    propagates the activation shardings and inserts the reduce for the
+    row-parallel contractions; everything else (embeddings, LayerNorms,
+    projections, cluster modules) is replicated.
+    """
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    owner = names[-2] if len(names) >= 2 else ""
+    if owner in ("in_proj", "c_fc"):
+        if names[-1] == "kernel" and leaf.ndim == 2:
+            return P(None, MODEL_AXIS)
+        if names[-1] == "bias" and leaf.ndim == 1:
+            return P(MODEL_AXIS)
+    if owner in ("out_proj", "c_proj") and names[-1] == "kernel" \
+            and leaf.ndim == 2:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def param_shardings(mesh: Mesh, tree):
+    """NamedSharding tree for the params: replicated on a 1-D mesh,
+    Megatron column/row-parallel on a ``(data, model)`` mesh."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return jax.tree.map(lambda _: replicated(mesh), tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: NamedSharding(mesh, _tp_spec(p, v)), tree)
+
+
+def shard_params(mesh: Mesh, tree):
+    """Place the param tree on the mesh per `param_shardings`.
+
+    `may_alias=False`: the train step donates its state, and an aliased
+    placement (device_put is free to alias when the layout already
+    matches) would let that donation delete the caller's original tree
+    out from under it (observed with the dryrun's scalar logit_scale).
+    """
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s, may_alias=False),
+        tree, param_shardings(mesh, tree))
 
 
 def process_barrier(name: str, timeout_ms: int = 3600_000) -> None:

@@ -61,8 +61,8 @@ class Evaluator:
         """Swap in fresh params (per-epoch eval) without re-tracing the
         jitted encoders."""
         if self.mesh is not None:
-            from ..parallel.mesh import replicate
-            params = replicate(self.mesh, params)
+            from ..parallel.mesh import shard_params
+            params = shard_params(self.mesh, params)
         self.variables = {"params": params}
 
     def _device_put(self, *arrays):

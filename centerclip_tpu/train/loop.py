@@ -23,7 +23,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import RunConfig
 from ..models.clip4clip import CLIP4Clip
-from ..parallel.mesh import DATA_AXIS, create_mesh, replicate, shard_batch
+from ..parallel.mesh import (DATA_AXIS, create_mesh, shard_batch,
+                             shard_params)
 from .optim import build_optimizer, current_lr
 from .state import TrainState
 
@@ -129,11 +130,15 @@ class Trainer:
                  total_steps: int, mesh=None):
         self.cfg = cfg
         self.model = model
-        self.mesh = mesh if mesh is not None else create_mesh(cfg.data_parallel)
+        self.mesh = mesh if mesh is not None else create_mesh(
+            cfg.data_parallel, tensor_parallel=cfg.tensor_parallel)
         self.tx = build_optimizer(cfg.optim, params, total_steps,
                                   freeze_layer_num=cfg.freeze_layer_num,
                                   freeze_clip=cfg.freeze_clip)
-        params = replicate(self.mesh, params)
+        # replicated on a 1-D data mesh; Megatron column/row-parallel on a
+        # (data, model) mesh — the optimizer moments inherit the placement
+        # through tx.init's zeros_like
+        params = shard_params(self.mesh, params)
         self.state = TrainState.create(params, self.tx)
         self.total_steps = total_steps
         self.accum = cfg.optim.gradient_accumulation_steps

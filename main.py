@@ -122,7 +122,9 @@ def main(argv=None):
     if cfg.do_eval and not cfg.do_train:
         res = None
         if jax.process_index() == 0:
-            mesh = create_mesh(cfg.data_parallel) if use_local_mesh else None
+            mesh = (create_mesh(cfg.data_parallel,
+                                tensor_parallel=cfg.tensor_parallel)
+                    if use_local_mesh else None)
             res = Evaluator(model, params, mesh=mesh).evaluate(
                 test_loader, multi_sentence=multi_sentence,
                 cut_off_points=cut_offs,
