@@ -104,6 +104,10 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
                    help="model-axis shards: transformer matmul weights "
                         "split Megatron-style over a 2-D (data, model) "
                         "mesh; 1 = pure data parallel")
+    p.add_argument("--fsdp", type=int, default=0,
+                   help="ZeRO-style sharding of params and fp32 Adam "
+                        "moments over the data axis (composable with "
+                        "--tensor_parallel)")
     # cluster algorithms
     p.add_argument("--cluster_algo", type=str, default="kmediods++",
                    choices=["kmediods++", "pooling", "sparse_sampling",
@@ -156,6 +160,7 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         profile_dir=args.profile_dir, profile_steps=args.profile_steps,
         data_parallel=args.data_parallel,
         tensor_parallel=args.tensor_parallel,
+        fsdp=bool(args.fsdp),
         # model
         clip_name=args.pretrained_clip_name, sim_header=args.sim_header,
         loose_type=args.loose_type, linear_patch=args.linear_patch,

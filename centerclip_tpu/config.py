@@ -316,6 +316,10 @@ class RunConfig:
     # weights over a 2-D (data, model) mesh; 1 = pure data parallel, the
     # reference's only mode).  See parallel/mesh.py::param_shardings.
     tensor_parallel: int = 1
+    # ZeRO-style sharding of params + fp32 Adam moments over the data
+    # axis (composable with tensor_parallel); frees HBM for bigger
+    # towers/batches at the cost of per-layer weight all-gathers.
+    fsdp: bool = False
 
     # names treated as new-added (non-CLIP lr group) even when nested under
     # the clip tower (reference: params.py:314)

@@ -109,16 +109,50 @@ def _tp_spec(path, leaf) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, tree):
-    """NamedSharding tree for the params: replicated on a 1-D mesh,
-    Megatron column/row-parallel on a ``(data, model)`` mesh."""
-    if MODEL_AXIS not in mesh.axis_names:
+def _with_fsdp(spec: P, leaf, data_size: int) -> P:
+    """Fold ZeRO-style data-axis sharding into a param's PartitionSpec.
+
+    The largest axis not already taken by tensor parallelism is sharded
+    over `data` when its size divides the data-axis extent; params with
+    no such axis (scalars, small biases, odd dims) stay as they were.
+    XLA all-gathers the weight shards where layers consume them and
+    reduce-scatters the grads — and because the optimizer moments inherit
+    the params' placement (tx.init zeros_like), the fp32 Adam state is
+    sharded too, the bulk of ZeRO's memory win."""
+    if leaf.ndim == 0:
+        return spec
+    taken = list(spec) + [None] * (leaf.ndim - len(spec))
+    candidates = [i for i in range(leaf.ndim)
+                  if taken[i] is None and leaf.shape[i] % data_size == 0
+                  and leaf.shape[i] >= data_size]
+    if not candidates:
+        return spec
+    ax = max(candidates, key=lambda i: leaf.shape[i])
+    taken[ax] = DATA_AXIS
+    return P(*taken)
+
+
+def param_shardings(mesh: Mesh, tree, fsdp: bool = False):
+    """NamedSharding tree for the params.
+
+    Replicated on a 1-D mesh; Megatron column/row-parallel on a
+    ``(data, model)`` mesh; with `fsdp` additionally ZeRO-sharded over
+    the data axis (composable with TP)."""
+    tp = MODEL_AXIS in mesh.axis_names
+    data_size = mesh.shape[DATA_AXIS]
+
+    def spec(path, leaf):
+        s = _tp_spec(path, leaf) if tp else P()
+        if fsdp:
+            s = _with_fsdp(s, leaf, data_size)
+        return NamedSharding(mesh, s)
+
+    if not tp and not fsdp:
         return jax.tree.map(lambda _: replicated(mesh), tree)
-    return jax.tree_util.tree_map_with_path(
-        lambda p, v: NamedSharding(mesh, _tp_spec(p, v)), tree)
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
-def shard_params(mesh: Mesh, tree):
+def shard_params(mesh: Mesh, tree, fsdp: bool = False):
     """Place the param tree on the mesh per `param_shardings`.
 
     `may_alias=False`: the train step donates its state, and an aliased
@@ -128,7 +162,7 @@ def shard_params(mesh: Mesh, tree):
     """
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s, may_alias=False),
-        tree, param_shardings(mesh, tree))
+        tree, param_shardings(mesh, tree, fsdp=fsdp))
 
 
 def process_barrier(name: str, timeout_ms: int = 3600_000) -> None:

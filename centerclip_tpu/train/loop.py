@@ -136,9 +136,10 @@ class Trainer:
                                   freeze_layer_num=cfg.freeze_layer_num,
                                   freeze_clip=cfg.freeze_clip)
         # replicated on a 1-D data mesh; Megatron column/row-parallel on a
-        # (data, model) mesh — the optimizer moments inherit the placement
-        # through tx.init's zeros_like
-        params = shard_params(self.mesh, params)
+        # (data, model) mesh; optionally ZeRO-sharded over the data axis —
+        # the optimizer moments inherit the placement through tx.init's
+        # zeros_like
+        params = shard_params(self.mesh, params, fsdp=cfg.fsdp)
         self.state = TrainState.create(params, self.tx)
         self.total_steps = total_steps
         self.accum = cfg.optim.gradient_accumulation_steps
