@@ -108,6 +108,18 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
                    help="ZeRO-style sharding of params and fp32 Adam "
                         "moments over the data axis (composable with "
                         "--tensor_parallel)")
+    p.add_argument("--sequence_parallel", type=int, default=0,
+                   help="Megatron-style sequence parallelism: shard the "
+                        "transformer residual stream on the token axis "
+                        "over the model mesh axis (requires "
+                        "--tensor_parallel > 1)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="GPipe stages over a (data, pipe) mesh: block "
+                        "stacks split into stages, microbatched "
+                        "activations flow over ICI (training only; "
+                        "mutually exclusive with --tensor_parallel)")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="GPipe microbatch count; 0 = one per stage")
     # cluster algorithms
     p.add_argument("--cluster_algo", type=str, default="kmediods++",
                    choices=["kmediods++", "pooling", "sparse_sampling",
@@ -161,6 +173,9 @@ def args_to_run_config(args: argparse.Namespace) -> RunConfig:
         data_parallel=args.data_parallel,
         tensor_parallel=args.tensor_parallel,
         fsdp=bool(args.fsdp),
+        sequence_parallel=bool(args.sequence_parallel),
+        pipeline_parallel=args.pipeline_parallel,
+        pipeline_microbatches=args.pipeline_microbatches,
         # model
         clip_name=args.pretrained_clip_name, sim_header=args.sim_header,
         loose_type=args.loose_type, linear_patch=args.linear_patch,

@@ -205,6 +205,24 @@ class ModelConfig:
     # ops/attention_pallas.py crossover table), so training and non-TPU
     # backends use XLA.
     fused_attention: bool = True
+    # Megatron-style sequence parallelism: under tensor parallelism
+    # (tensor_parallel > 1) additionally shard the transformer residual
+    # stream on the token axis over the model mesh axis, cutting the
+    # LN/residual activation memory per chip by 1/tp and turning the TP
+    # boundary all-reduces into all-gather/reduce-scatter pairs (same
+    # bytes, less live memory).  Training-only effect: eval encoders trace
+    # outside a mesh context so the constraint no-ops there.  See
+    # parallel/mesh.py::shard_tokens.
+    sequence_parallel: bool = False
+    # GPipe pipeline parallelism: split the transformer block stacks into
+    # `pipeline_parallel` stages over a (data, pipe) mesh, microbatch the
+    # rows, and flow activations stage-to-stage over ICI on a static
+    # lax.scan schedule (parallel/pipeline.py).  Mutually exclusive with
+    # tensor_parallel.  Training-only effect (eval traces outside a mesh
+    # context and keeps the sequential loop); checkpoint schema unchanged.
+    pipeline_parallel: int = 1
+    # GPipe microbatch count M (bubble = (S-1)/(M+S-1)); 0 = one per stage
+    pipeline_microbatches: int = 0
 
     def __post_init__(self):
         assert self.clip_name in CLIP_ARCHS, f"unknown CLIP variant {self.clip_name}"
@@ -390,6 +408,18 @@ def make_run_config(**kw) -> RunConfig:
     # partitioning spec), so the towers must take the XLA attention path,
     # which GSPMD partitions automatically
     if run_kw.get("tensor_parallel", 1) > 1:
+        model_kw["fused_attention"] = False
+        if model_kw.get("pipeline_parallel", 1) > 1:
+            raise ValueError("pipeline_parallel and tensor_parallel cannot "
+                             "be combined on one mesh")
+    elif model_kw.get("sequence_parallel"):
+        raise ValueError(
+            "sequence_parallel shards tokens over the model mesh axis and "
+            "therefore requires tensor_parallel > 1")
+    if model_kw.get("pipeline_parallel", 1) > 1:
+        # the Pallas kernel is a single-device program; inside the GPipe
+        # shard_map it would lower per-stage, but routing stays uniform
+        # (and CPU-mesh-testable) on the XLA attention path
         model_kw["fused_attention"] = False
     model = ModelConfig(**model_kw)
 

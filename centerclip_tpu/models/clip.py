@@ -23,6 +23,20 @@ from ..ops.deepcluster import DeepCluster, deep_cluster_plan
 from .layers import LayerNormF32, ResidualAttentionBlock, causal_mask
 
 
+def _pp_active(module) -> bool:
+    """True when this tower should run its block stack on the GPipe
+    schedule: pipeline_parallel configured, applying (not initialising —
+    init must construct every block so the canonical per-block param
+    schema exists), and traced inside a mesh whose `pipe` extent matches.
+    Eval and single-chip paths trace outside such a mesh and keep the
+    sequential loop."""
+    cfg = module.cfg
+    if cfg.pipeline_parallel <= 1 or module.is_initializing():
+        return False
+    from ..parallel.pipeline import context_pipe_size
+    return context_pipe_size() == cfg.pipeline_parallel
+
+
 class TextTransformer(nn.Module):
     """CLIP text encoder (reference: clip.py:402-417,471-496)."""
     cfg: ModelConfig
@@ -47,9 +61,24 @@ class TextTransformer(nn.Module):
         if self.cfg.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
         fused = self.cfg.fused_attention and deterministic
-        for i in range(arch["transformer_layers"]):
-            x = block_cls(width, arch["transformer_heads"],
-                          dtype, fused=fused, name=f"resblocks_{i}")(x, mask)
+        heads = arch["transformer_heads"]
+        if _pp_active(self):
+            # GPipe over the homogeneous 12-block stack: per-block param
+            # subtrees are read from the scope (canonical checkpoint names)
+            # and stacked inside parallel/pipeline.py
+            from ..parallel.pipeline import pipeline_blocks
+            blocks = [self.scope.get_variable("params", f"resblocks_{i}")
+                      for i in range(arch["transformer_layers"])]
+            x = pipeline_blocks(
+                blocks,
+                lambda p, h: ResidualAttentionBlock(width, heads, dtype)
+                .apply({"params": p}, h, mask),
+                x, microbatches=self.cfg.pipeline_microbatches)
+        else:
+            for i in range(arch["transformer_layers"]):
+                x = block_cls(width, heads, dtype, fused=fused,
+                              sp=self.cfg.sequence_parallel,
+                              name=f"resblocks_{i}")(x, mask)
         x = LayerNormF32(fused=fused, name="ln_final")(x).astype(jnp.float32)
         proj = self.param("text_projection",
                           nn.initializers.normal(width ** -0.5),
@@ -131,9 +160,41 @@ class VisionTransformer(nn.Module):
         block_cls = ResidualAttentionBlock
         if cfg.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
+        pp_active = _pp_active(self)
+
+        def run_block(i, x):
+            return block_cls(width, vision_heads, dtype, fused=fused,
+                             sp=cfg.sequence_parallel,
+                             name=f"resblocks_{i}")(x)
+
+        run = []  # pending contiguous homogeneous blocks
+
+        def flush(x):
+            """Apply the pending block run: GPipe-pipelined when active
+            (token counts are constant within a run — cluster layers only
+            sit at run boundaries), else the plain sequential loop."""
+            if not run:
+                return x
+            if pp_active:
+                from ..parallel.pipeline import pipeline_blocks
+                ps = [self.scope.get_variable("params", f"resblocks_{j}")
+                      for j in run]
+                x = pipeline_blocks(
+                    ps,
+                    lambda p, h: ResidualAttentionBlock(
+                        width, vision_heads, dtype).apply({"params": p}, h),
+                    x, microbatches=cfg.pipeline_microbatches)
+            else:
+                for j in run:
+                    x = run_block(j, x)
+            run.clear()
+            return x
+
         for i in range(arch["vision_layers"]):
             spec = plan[i]
             dspec = dplan[i]
+            if dspec is not None or spec is not None:
+                x = flush(x)
             if dspec is not None:
                 # learned clustering head before the block (clip.py:232-234);
                 # the WCSS loss is computed in training only
@@ -146,12 +207,15 @@ class VisionTransformer(nn.Module):
                 mod = TokenClusterInter(spec=spec, cfg=cfg.cluster,
                                         width=width, name=f"cluster_{i}")
                 x = mod(x, deterministic=deterministic, rng=rng)
-            x = block_cls(width, vision_heads, dtype, fused=fused,
-                          name=f"resblocks_{i}")(x)
             if spec is not None and spec.algo == "token_shift":
-                # token_shift runs again after attention (clip.py:247-248)
+                # token_shift runs again after attention (clip.py:247-248):
+                # the post-op binds to this block, so it stays sequential
+                x = run_block(i, x)
                 x = TokenClusterInter(spec=spec, cfg=cfg.cluster, width=width,
                                       name=f"cluster_post_{i}")(x)
+            else:
+                run.append(i)
+        x = flush(x)
 
         x = LayerNormF32(fused=fused, name="ln_post")(x[:, 0, :]).astype(jnp.float32)
         proj = self.param("proj", nn.initializers.normal(width ** -0.5),

@@ -133,20 +133,37 @@ class MLP(nn.Module):
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN transformer block (reference: clip.py:197-253), without the
     cluster hooks — those are owned by the vision tower so that the token
-    count can change *between* blocks with static shapes."""
+    count can change *between* blocks with static shapes.
+
+    `sp`: Megatron-style sequence parallelism — the residual stream is
+    constrained to a token-sharded (data, model) layout so the LN/residual
+    regions hold 1/tp of the activations; GSPMD turns the TP boundary
+    collectives into all-gather / reduce-scatter pairs
+    (parallel/mesh.py::shard_tokens).  Only meaningful under a 2-D mesh
+    with tensor parallelism; a no-op everywhere else."""
     width: int
     heads: int
     dtype: Dtype = jnp.float32
     fused: bool = False
+    sp: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.sp:
+            from ..parallel.mesh import shard_tokens
+            x = shard_tokens(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype,
                                    fused=self.fused, name="attn")(
             LayerNormF32(fused=self.fused, name="ln_1")(x), attn_mask)
+        if self.sp:
+            from ..parallel.mesh import shard_tokens
+            x = shard_tokens(x)
         x = x + MLP(self.width, self.dtype, name="mlp")(
             LayerNormF32(fused=self.fused, name="ln_2")(x))
+        if self.sp:
+            from ..parallel.mesh import shard_tokens
+            x = shard_tokens(x)
         return x
 
 

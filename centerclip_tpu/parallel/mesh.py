@@ -18,11 +18,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def create_mesh(num_devices: int = 0,
                 devices: Optional[list] = None,
-                tensor_parallel: int = 1) -> Mesh:
+                tensor_parallel: int = 1,
+                pipeline_parallel: int = 1) -> Mesh:
     """Device mesh.  `num_devices <= 0` uses every visible device (the
     analogue of the reference counting GPUs, main.py:44-53).
 
@@ -31,20 +33,53 @@ def create_mesh(num_devices: int = 0,
     a 2-D ``(data, model)`` grid: batches stay sharded on `data`, while
     `param_shardings` splits the transformer matmul weights on `model`
     (Megatron-style column/row parallelism) — a capability the CUDA
-    reference does not have (it is DDP-only).  The model axis is the
-    fastest-varying so its collectives ride adjacent-chip ICI links."""
+    reference does not have (it is DDP-only).  `pipeline_parallel > 1`
+    instead folds them into ``(data, pipe)`` for the GPipe schedule in
+    `parallel/pipeline.py` (TP and PP are mutually exclusive for now).
+    The second axis is the fastest-varying so its collectives ride
+    adjacent-chip ICI links."""
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]
     tp = max(int(tensor_parallel), 1)
-    if tp == 1:
+    pp = max(int(pipeline_parallel), 1)
+    if tp > 1 and pp > 1:
+        raise ValueError("tensor_parallel and pipeline_parallel cannot be "
+                         "combined on one mesh")
+    if tp == 1 and pp == 1:
         return Mesh(np.asarray(devices), (DATA_AXIS,))
-    if len(devices) % tp:
+    second, name = (tp, MODEL_AXIS) if tp > 1 else (pp, PIPE_AXIS)
+    if len(devices) % second:
         raise ValueError(
-            f"tensor_parallel={tp} does not divide {len(devices)} devices")
-    grid = np.asarray(devices).reshape(len(devices) // tp, tp)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+            f"{name} extent {second} does not divide {len(devices)} devices")
+    grid = np.asarray(devices).reshape(len(devices) // second, second)
+    return Mesh(grid, (DATA_AXIS, name))
+
+
+def shard_tokens(x):
+    """Megatron-style sequence-parallel activation constraint.
+
+    Shards a ``[batch, tokens, ...]`` activation as ``(data, model)`` so the
+    LayerNorm/residual regions between the column/row-parallel matmuls hold
+    only ``1/tp`` of the tokens per chip — the activation-memory half of
+    Megatron-LM sequence parallelism (arXiv:2205.05198).  GSPMD materialises
+    the boundary collectives: an all-gather of tokens feeding the
+    column-parallel QKV/up-projections and a reduce-scatter replacing the
+    all-reduce after the row-parallel contractions (same bytes moved, less
+    live memory).
+
+    No-op unless traced inside a mesh context whose axes include ``model``
+    (jit outside a mesh cannot resolve a PartitionSpec, and a 1-D data mesh
+    has no model axis to shard over) — so eval paths and single-chip runs
+    are untouched.
+    """
+    from jax._src import mesh as mesh_lib
+    m = mesh_lib.thread_resources.env.physical_mesh
+    if m.empty or MODEL_AXIS not in m.axis_names:
+        return x
+    spec = P(DATA_AXIS, MODEL_AXIS, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -131,7 +131,8 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.mesh = mesh if mesh is not None else create_mesh(
-            cfg.data_parallel, tensor_parallel=cfg.tensor_parallel)
+            cfg.data_parallel, tensor_parallel=cfg.tensor_parallel,
+            pipeline_parallel=cfg.model.pipeline_parallel)
         self.tx = build_optimizer(cfg.optim, params, total_steps,
                                   freeze_layer_num=cfg.freeze_layer_num,
                                   freeze_clip=cfg.freeze_clip)

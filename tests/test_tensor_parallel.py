@@ -182,6 +182,61 @@ def test_tp_cluster_smoke(rng):
     assert changed
 
 
+def test_sp_matches_dp(rng):
+    """Sequence parallelism (token-sharded residual stream over the model
+    axis) is a pure layout change: dp=4 x tp=2 with sp reproduces the dp=8
+    run (clustering off — see test_tp_matches_dp)."""
+    batches = [make_batch(np.random.default_rng(s), 16) for s in range(2)]
+    run_dp = tiny_cfg(inter=False)
+    model = CLIP4Clip(run_dp.model)
+    b0 = batches[0]
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=b0["input_ids"],
+                        attention_mask=b0["attention_mask"],
+                        video=b0["video"],
+                        video_mask=b0["video_mask"])["params"]
+    params0 = jax.device_get(params)
+
+    loss_dp, p_dp = _train_two_steps(run_dp, params0, batches)
+    loss_sp, p_sp = _train_two_steps(
+        tiny_cfg(inter=False, tensor_parallel=2, sequence_parallel=True),
+        params0, batches)
+    np.testing.assert_allclose(loss_sp, loss_dp, rtol=2e-5)
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(p_dp)[0],
+            jax.tree.leaves(p_sp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_sp_cluster_fsdp_smoke(rng):
+    """The full composition — dp x tp x sp x fsdp — trains the flagship
+    cluster path to a finite loss (the dryrun leg's shape, pinned here)."""
+    batches = [make_batch(np.random.default_rng(s), 16) for s in range(2)]
+    run = tiny_cfg(tensor_parallel=2, sequence_parallel=True, fsdp=True)
+    model = CLIP4Clip(run.model)
+    b0 = batches[0]
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=b0["input_ids"],
+                        attention_mask=b0["attention_mask"],
+                        video=b0["video"],
+                        video_mask=b0["video_mask"])["params"]
+    loss, _ = _train_two_steps(run, jax.device_get(params), batches)
+    assert np.isfinite(loss)
+
+
+def test_sp_requires_tp():
+    """sequence_parallel without tensor parallelism is a config error, and
+    the sp constraint is a no-op outside a (data, model) mesh context."""
+    with pytest.raises(ValueError, match="tensor_parallel"):
+        tiny_cfg(sequence_parallel=True)
+    # outside any mesh context shard_tokens must pass values through
+    from centerclip_tpu.parallel.mesh import shard_tokens
+    x = jnp.ones((2, 3, 4))
+    np.testing.assert_array_equal(shard_tokens(x), x)
+
+
 def test_tp_eval_matches_single_device(rng):
     """Two-phase eval on the (data, model) mesh equals the meshless run
     (clustering off — see test_tp_matches_dp for why)."""
