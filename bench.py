@@ -33,6 +33,9 @@ complete perf claim — VERDICT r2 next #7):
   (L=50 block-diagonal, L=197 per-sample), with and without a causal
   mask, within bf16 tolerance; `attention_kernel_max_err` records the
   worst deviation observed.
+* `serve_qps_b32` / `serve_query_ms_b1` — online retrieval serving
+  (centerclip_tpu.serve): jitted text tower + int8 100k-clip gallery
+  top-10, query batch 32 throughput and batch-1 latency.
 """
 from __future__ import annotations
 
@@ -283,6 +286,52 @@ def bench_attention_parity() -> dict:
             "cases": cases}
 
 
+def bench_serve() -> dict:
+    """Online retrieval serving: queries/s through the full device path
+    (jitted ViT-B/32 text tower -> int8 100k-clip gallery matmul ->
+    lax.top_k) at query batch 32, plus single-query latency (batch 1).
+    The gallery path is centerclip_tpu.serve (beyond-reference deployment
+    surface; scores pinned to the Evaluator in tests/test_serve.py)."""
+    import jax
+    import jax.numpy as jnp
+    from centerclip_tpu.serve.engine import RetrievalEngine
+    from centerclip_tpu.serve.index import VideoIndex
+
+    cfg = _flagship_cfg()
+    from centerclip_tpu.models.clip4clip import CLIP4Clip
+    model = CLIP4Clip(cfg.model)
+    rng = np.random.default_rng(0)
+    L = cfg.model.max_words
+    ids = rng.integers(1, 49000, size=(2, L)).astype(np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=ids,
+        attention_mask=np.ones((2, L), np.int32),
+        video=np.zeros((2 * 12, 3, 224, 224), np.uint8),
+        video_mask=np.ones((2, 12), np.int32))["params"]
+    engine = RetrievalEngine(model, params)
+
+    n_gallery, dim, k = 100_000, 512, 10
+    emb = rng.normal(size=(n_gallery, dim)).astype(np.float32)
+    index = VideoIndex(emb, [str(i) for i in range(n_gallery)],
+                       quantize="int8")
+    search = index._search_fn(k)
+
+    def run_at(batch):
+        q_ids = jnp.asarray(rng.integers(1, 49000, size=(batch, L)),
+                            jnp.int32)
+
+        def run():
+            q = engine._embed_text(engine.variables, q_ids)
+            scores, _ = search(index._codes, index._scales, q)
+            return scores
+        return run
+
+    t32 = device_time(run_at(32), ENCODE_RUNS)
+    t1 = device_time(run_at(1), ENCODE_RUNS)
+    return {"qps_b32": 32.0 / t32, "query_ms_b1": t1 * 1e3,
+            "gallery": n_gallery, "quantize": "int8", "topk": k}
+
+
 def bench_kmedoids() -> float:
     """The reference's recorded cluster micro-bench shape."""
     import jax.numpy as jnp
@@ -363,6 +412,10 @@ def main():
     if parity is None:
         time.sleep(30)
         parity = _run_child_json(["--attnparity"], timeout=1500)
+    serve = _run_child_json(["--serve"], timeout=1500)
+    if serve is None:
+        time.sleep(30)
+        serve = _run_child_json(["--serve"], timeout=1500)
 
     s = secondary["kmedoids"]
     b16_flops = vit_flops_per_clip(tokens=197, final_tokens=161, patch=16)
@@ -399,6 +452,12 @@ def main():
         "attention_kernel_parity": parity["ok"] if parity else None,
         "attention_kernel_max_err": parity["max_err"] if parity else None,
         "attention_kernel_cases": parity["cases"] if parity else None,
+        "serve_qps_b32": round(serve["qps_b32"], 1) if serve else None,
+        "serve_query_ms_b1": round(serve["query_ms_b1"], 2)
+        if serve else None,
+        "serve_config": ({"gallery": serve["gallery"],
+                          "quantize": serve["quantize"],
+                          "topk": serve["topk"]} if serve else None),
     }
     print(json.dumps(out))
 
@@ -417,5 +476,7 @@ if __name__ == "__main__":
         print(bench_anet())
     elif len(sys.argv) > 1 and sys.argv[1] == "--attnparity":
         print(json.dumps(bench_attention_parity()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--serve":
+        print(json.dumps(bench_serve()))
     else:
         main()

@@ -117,6 +117,26 @@ class RetrievalEngine:
             b = (b + d - 1) // d * d
         return b
 
+    # ---------------------------------------------------------------- warmup
+    def warmup(self, k: int = 5, max_queries: int = 32) -> int:
+        """Precompile the online path for every query bucket <= max_queries
+        (and top-k executable) so the first real query never eats a trace +
+        compile.  Returns the number of executables warmed."""
+        from .index import QUERY_BUCKETS
+        buckets = [b for b in QUERY_BUCKETS if b <= max_queries] or [1]
+        last = None
+        for b in buckets:
+            ids = np.ones((b, self.max_words), np.int32)
+            emb = self._embed_text(self.variables,
+                                   self._device_put(self._pad_rows(
+                                       ids, self._bucket(b))))
+            if self.index is not None:
+                last = self.index.search(np.asarray(jax.device_get(emb)),
+                                         k=k)
+        if last is not None:
+            jax.device_get(last)
+        return len(buckets)
+
     # ----------------------------------------------------------------- texts
     @property
     def tokenizer(self) -> SimpleTokenizer:
@@ -167,13 +187,15 @@ class RetrievalEngine:
         host loop on tunnel round-trips.
         """
         chunks, valid = [], []
-        target = None
+        target = 0
         for batch in batches:
             vmask = np.asarray(batch["video_mask"])
             video = np.asarray(batch["video"])
             n = vmask.shape[0]
-            if target is None:
-                target = self._bucket(n)
+            # sticky bucket: the first (typically full-width) batch sets the
+            # shape so ragged tails reuse its executable; a LARGER batch
+            # re-buckets rather than crashing the pad
+            target = max(target, self._bucket(n))
             if video.ndim == 6:
                 video = video.reshape(-1, *video.shape[-3:])
             frames = video.shape[0] // n

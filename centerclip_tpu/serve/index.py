@@ -169,6 +169,53 @@ class VideoIndex:
         scores, idx = jax.device_get((scores, idx))
         return scores[:n_q], idx[:n_q]
 
+    def add(self, embeddings: np.ndarray, video_ids: Sequence[str]) -> None:
+        """Append videos to a live gallery.
+
+        Exact, not approximate: int8 quantisation is per-row symmetric, so
+        new rows get their own scales and existing codes are untouched.
+        The device copy is re-placed (new padded shape) and the per-k
+        executables retrace on the next query — adds are meant to be
+        batched, not per-item."""
+        emb = l2_normalize(np.asarray(embeddings, np.float32))
+        if emb.ndim != 2 or emb.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
+        if emb.shape[0] != len(video_ids):
+            raise ValueError("len(video_ids) != embeddings rows")
+
+        old_codes = self._codes_host[: self.n_valid]
+        if self.quantize == "int8":
+            scale = np.max(np.abs(emb), axis=1, keepdims=True) / 127.0
+            scale = np.where(scale == 0.0, 1.0, scale)
+            new_codes = np.clip(np.rint(emb / scale), -127,
+                                127).astype(np.int8)
+            old_scales = self._scales_host[: self.n_valid]
+            scales = np.concatenate([old_scales, scale.astype(np.float32)])
+        elif self.quantize == "bfloat16":
+            new_codes = np.asarray(jnp.asarray(emb, jnp.bfloat16))
+            scales = None
+        else:
+            new_codes = emb
+            scales = None
+        codes = np.concatenate([old_codes, new_codes])
+
+        self.video_ids += [str(v) for v in video_ids]
+        self.n_valid = int(codes.shape[0])
+        mult = 8
+        if self.mesh is not None:
+            mult = max(mult, int(np.prod([self.mesh.shape[a]
+                                          for a in self.mesh.axis_names])))
+        self.n_padded = (self.n_valid + mult - 1) // mult * mult
+        pad = self.n_padded - self.n_valid
+        self._codes_host = np.concatenate(
+            [codes, np.zeros((pad, self.dim), codes.dtype)])
+        if scales is not None:
+            self._scales_host = np.concatenate(
+                [scales, np.ones((pad, 1), np.float32)])
+        self._place()
+        # the cached executables close over the OLD n_valid pad mask
+        self._search_cache = {}
+
     def lookup(self, indices: np.ndarray) -> List[str]:
         return [self.video_ids[int(i)] for i in np.asarray(indices).ravel()]
 

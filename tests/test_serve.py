@@ -111,6 +111,30 @@ def test_index_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("quantize", ["float32", "int8"])
+def test_index_add_matches_fresh_build(rng, quantize):
+    """Incremental add must equal building the full gallery at once (per-row
+    quantisation makes appends exact), including the stale-executable and
+    re-padding edges."""
+    emb, ids = _rand_index_inputs(rng, n=13)
+    more = rng.normal(size=(9, emb.shape[1])).astype(np.float32)
+    grown = VideoIndex(emb, ids, quantize=quantize)
+    q = rng.normal(size=(3, emb.shape[1])).astype(np.float32)
+    grown.search(q, k=4)  # populate the executable cache pre-add
+    grown.add(more, [f"new{i}" for i in range(9)])
+    fresh = VideoIndex(np.concatenate([emb, more]),
+                       ids + [f"new{i}" for i in range(9)],
+                       quantize=quantize)
+    assert grown.n_valid == fresh.n_valid == 22
+    assert grown.video_ids == fresh.video_ids
+    s0, i0 = grown.search(q, k=22)
+    s1, i1 = fresh.search(q, k=22)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(s0, s1)
+    with pytest.raises(ValueError):
+        grown.add(more[:, :4], ["bad"] * 9)
+
+
 # -------------------------------------------------------------------- engine
 def _init_engine_model(rng, **over):
     # clustering off: k-medoids argmin ties on random frames flip under the
@@ -206,6 +230,17 @@ def test_engine_mesh_matches_single_device(rng):
     s1, i1 = sharded.index.search(q1, k=4)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(s0, s1, rtol=1e-3, atol=1e-3)
+
+
+def test_engine_warmup(rng):
+    run, model, params = _init_engine_model(rng)
+    engine = RetrievalEngine(model, params)
+    assert engine.warmup(max_queries=8) == 4  # buckets 1, 2, 4, 8
+    batches = [make_batch(np.random.default_rng(0), 8)]
+    engine.build_index(
+        ({"video": b["video"], "video_mask": b["video_mask"]}
+         for b in batches), [f"v{i}" for i in range(8)])
+    assert engine.warmup(k=3, max_queries=4) == 3
 
 
 def test_engine_rejects_tighttransf(rng):
