@@ -1,5 +1,12 @@
 # coding=utf-8
-"""Benchmark harness — prints ONE JSON line (the driver records it).
+"""Benchmark harness — prints cumulative JSON lines, last line = record.
+
+The driver parses the LAST stdout line.  `main()` runs under a hard
+wall-clock budget (env ``BENCH_BUDGET_S``, default 900 s), prints a
+headline-only line immediately after the encode measurement, then re-emits
+a cumulative superset line after every completed secondary — so a driver
+timeout at any point still leaves a complete, parseable record of
+everything measured so far (fix for BENCH_r03's ``rc=124, parsed: null``).
 
 Headline metric: **video-encode clips/sec/chip** on the BASELINE.json
 north-star config — ViT-B/32, 12 frames, kmediods++ 12->6 token clustering,
@@ -34,8 +41,10 @@ complete perf claim — VERDICT r2 next #7):
   mask, within bf16 tolerance; `attention_kernel_max_err` records the
   worst deviation observed.
 * `serve_qps_b32` / `serve_query_ms_b1` — online retrieval serving
-  (centerclip_tpu.serve): jitted text tower + int8 100k-clip gallery
-  top-10, query batch 32 throughput and batch-1 latency.
+  (centerclip_tpu.serve) through the PUBLIC `RetrievalEngine.search`
+  path (strings in, ranked ids out — tokenisation, bucket padding, text
+  tower, int8 100k-clip gallery top-10, host transfer all included);
+  `serve_internal_qps_b32` keeps the device-only breakdown.
 """
 from __future__ import annotations
 
@@ -287,11 +296,14 @@ def bench_attention_parity() -> dict:
 
 
 def bench_serve() -> dict:
-    """Online retrieval serving: queries/s through the full device path
-    (jitted ViT-B/32 text tower -> int8 100k-clip gallery matmul ->
-    lax.top_k) at query batch 32, plus single-query latency (batch 1).
-    The gallery path is centerclip_tpu.serve (beyond-reference deployment
-    surface; scores pinned to the Evaluator in tests/test_serve.py)."""
+    """Online retrieval serving through the PUBLIC path (VERDICT r3 next
+    #5): `RetrievalEngine.search(texts, k)` — strings in, ranked video ids
+    out — so the published QPS/latency includes tokenisation, query-bucket
+    padding, the jitted ViT-B/32 text tower, the int8 100k-clip gallery
+    matmul + lax.top_k, id mapping and the host transfer, i.e. exactly what
+    a caller gets.  `internal_qps_b32` keeps the device-only breakdown
+    (text tower + gallery matmul, no host hops) for comparison.
+    Scores are pinned to the batch Evaluator in tests/test_serve.py."""
     import jax
     import jax.numpy as jnp
     from centerclip_tpu.serve.engine import RetrievalEngine
@@ -308,28 +320,47 @@ def bench_serve() -> dict:
         attention_mask=np.ones((2, L), np.int32),
         video=np.zeros((2 * 12, 3, 224, 224), np.uint8),
         video_mask=np.ones((2, 12), np.int32))["params"]
-    engine = RetrievalEngine(model, params)
 
     n_gallery, dim, k = 100_000, 512, 10
     emb = rng.normal(size=(n_gallery, dim)).astype(np.float32)
-    index = VideoIndex(emb, [str(i) for i in range(n_gallery)],
+    index = VideoIndex(emb, [f"video{i}" for i in range(n_gallery)],
                        quantize="int8")
+    engine = RetrievalEngine(model, params, index=index)
+    engine.warmup(k=k, max_queries=32)
+
+    queries = [f"a person is doing activity number {i} in a room"
+               for i in range(32)]
+
+    def public_time(batch, runs):
+        texts = queries[:batch]
+        engine.search(texts, k=k)  # warm this (bucket, k) executable
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            out = engine.search(texts, k=k)
+        dt = (time.perf_counter() - t0) / runs
+        assert len(out) == batch and len(out[0]) == k
+        return dt
+
+    # the public path synchronises per call (device_get inside
+    # index.search), so plain wall-clock over repeated calls is the honest
+    # user-visible number — tunnel roundtrips included
+    t32 = public_time(32, ENCODE_RUNS)
+    t1 = public_time(1, ENCODE_RUNS)
+
+    # device-only breakdown (old r3 metric): chained dispatches, no host
     search = index._search_fn(k)
+    q_ids = jnp.asarray(rng.integers(1, 49000, size=(32, L)), jnp.int32)
 
-    def run_at(batch):
-        q_ids = jnp.asarray(rng.integers(1, 49000, size=(batch, L)),
-                            jnp.int32)
+    def run_internal():
+        q = engine._embed_text(engine.variables, q_ids)
+        scores, _ = search(index._codes, index._scales, q)
+        return scores[0, 0]
 
-        def run():
-            q = engine._embed_text(engine.variables, q_ids)
-            scores, _ = search(index._codes, index._scales, q)
-            return scores
-        return run
-
-    t32 = device_time(run_at(32), ENCODE_RUNS)
-    t1 = device_time(run_at(1), ENCODE_RUNS)
+    t32_int = device_time(run_internal, ENCODE_RUNS)
     return {"qps_b32": 32.0 / t32, "query_ms_b1": t1 * 1e3,
-            "gallery": n_gallery, "quantize": "int8", "topk": k}
+            "internal_qps_b32": 32.0 / t32_int,
+            "gallery": n_gallery, "quantize": "int8", "topk": k,
+            "path": "RetrievalEngine.search (strings in, ids out)"}
 
 
 def bench_kmedoids() -> float:
@@ -357,7 +388,7 @@ def bench_kmedoids() -> float:
 def _run_child(args, timeout=900):
     """Run one measurement in a subprocess.  The tunnelled TPU worker
     occasionally crashes on large dispatches and a crash poisons the whole
-    client in-process, so each measurement gets its own process + retry."""
+    client in-process, so each measurement gets its own process."""
     import subprocess
     try:
         r = subprocess.run([sys.executable, __file__] + args,
@@ -386,80 +417,119 @@ def _run_child_json(args, timeout=900):
 
 
 def main():
+    """Driver-survivable orchestration (VERDICT r3 next #1).
+
+    Hard wall-clock budget (``BENCH_BUDGET_S``, default 900 s): the headline
+    encode measurement runs first and its JSON line is printed AND FLUSHED
+    immediately, then every completed secondary re-emits a cumulative
+    superset line.  The driver parses the LAST stdout line, so even if the
+    process is killed mid-way the record is the most complete line emitted
+    so far — a timeout can never again leave ``parsed: null`` (BENCH_r03).
+    Child timeouts are clamped to the remaining budget; once a
+    measurement's minimum useful window is gone it is skipped and listed in
+    ``skipped``.  No retry sleeps unless the budget is still rich."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    t_start = time.monotonic()
+
+    def remaining():
+        return budget - (time.monotonic() - t_start)
+
     flops = vit_b32_flops_per_clip()
     gpu_ref = RTX3090_FP16_PEAK * GPU_ASSUMED_MFU / flops
-    clips, used_b = None, None
-    # a crashed tunnelled worker can take minutes to recover, so retry the
-    # same batch with growing backoff before shrinking it
-    for b, backoff in ((ENCODE_BATCH, 60), (ENCODE_BATCH, 120), (16, 120),
-                       (16, 0)):
-        clips = _run_child(["--encode", str(b)])
-        if clips is not None:
-            used_b = b
-            break
-        time.sleep(backoff)
-    secondary = {}
-    for key, args in (("kmedoids", ["--kmedoids"]),
-                      ("train8", ["--train8"]),
-                      ("b16", ["--b16"]),
-                      ("anet", ["--anet"])):
-        val = _run_child(args, timeout=1500)
-        if val is None:
-            time.sleep(30)
-            val = _run_child(args, timeout=1500)
-        secondary[key] = val
-    parity = _run_child_json(["--attnparity"], timeout=1500)
-    if parity is None:
-        time.sleep(30)
-        parity = _run_child_json(["--attnparity"], timeout=1500)
-    serve = _run_child_json(["--serve"], timeout=1500)
-    if serve is None:
-        time.sleep(30)
-        serve = _run_child_json(["--serve"], timeout=1500)
-
-    s = secondary["kmedoids"]
     b16_flops = vit_flops_per_clip(tokens=197, final_tokens=161, patch=16)
     anet_flops = vit_flops_per_clip(frames=60, final_frames=15)
-    out = {
-        "metric": "ViT-B/32 encode clips/s/chip (12f, kmediods++ 12->6, "
-                  f"bf16, uint8 in, B={used_b or ENCODE_BATCH}; baseline = "
-                  f"ESTIMATED RTX3090 @ {GPU_ASSUMED_MFU:.0%} MFU = "
-                  f"{gpu_ref:.0f} clips/s — derived, not measured: the "
-                  "reference publishes no encode throughput)",
-        "value": round(clips, 2) if clips else None,
-        "unit": "clips/s/chip",
-        "vs_baseline": round(clips / gpu_ref, 3) if clips else None,
-        "vs_baseline_basis": "estimated (derived GPU denominator)",
-        "mfu": round(clips * flops / V5E_BF16_PEAK, 4) if clips else None,
-        "encode_batch": used_b,
-        "flops_per_clip_g": round(flops / 1e9, 1),
-        "gpu_ref_clips_s": round(gpu_ref, 1),
-        "gpu_ref_basis": "71 TFLOP/s fp16 (RTX 3090 tensor, fp32 acc) x "
-                         f"{GPU_ASSUMED_MFU:.0%} assumed MFU / "
-                         f"{flops / 1e9:.1f} GFLOP per clip",
-        "kmedoids_s_per_run": round(s, 5) if s else None,
-        "kmedoids_vs_3090": round(REF_KMEDOIDS_S / s, 2) if s else None,
-        "train_step_ms_b8": round(secondary["train8"], 2)
-        if secondary["train8"] else None,
-        "vit_b16_clips_s": round(secondary["b16"], 1)
-        if secondary["b16"] else None,
-        "vit_b16_mfu": round(secondary["b16"] * b16_flops / V5E_BF16_PEAK, 4)
-        if secondary["b16"] else None,
-        "anet60_clips_s": round(secondary["anet"], 1)
-        if secondary["anet"] else None,
-        "anet60_mfu": round(secondary["anet"] * anet_flops / V5E_BF16_PEAK, 4)
-        if secondary["anet"] else None,
-        "attention_kernel_parity": parity["ok"] if parity else None,
-        "attention_kernel_max_err": parity["max_err"] if parity else None,
-        "attention_kernel_cases": parity["cases"] if parity else None,
-        "serve_qps_b32": round(serve["qps_b32"], 1) if serve else None,
-        "serve_query_ms_b1": round(serve["query_ms_b1"], 2)
-        if serve else None,
-        "serve_config": ({"gallery": serve["gallery"],
-                          "quantize": serve["quantize"],
-                          "topk": serve["topk"]} if serve else None),
-    }
-    print(json.dumps(out))
+    st = {"clips": None, "used_b": None, "kmedoids": None, "train8": None,
+          "b16": None, "anet": None, "parity": None, "serve": None,
+          "skipped": []}
+
+    def emit():
+        clips, s = st["clips"], st["kmedoids"]
+        parity, serve = st["parity"], st["serve"]
+        out = {
+            "metric": "ViT-B/32 encode clips/s/chip (12f, kmediods++ "
+                      "12->6, bf16, uint8 in, "
+                      f"B={st['used_b'] or ENCODE_BATCH}; baseline = "
+                      f"ESTIMATED RTX3090 @ {GPU_ASSUMED_MFU:.0%} MFU = "
+                      f"{gpu_ref:.0f} clips/s — derived, not measured: the "
+                      "reference publishes no encode throughput)",
+            "value": round(clips, 2) if clips else None,
+            "unit": "clips/s/chip",
+            "vs_baseline": round(clips / gpu_ref, 3) if clips else None,
+            "vs_baseline_basis": "estimated (derived GPU denominator)",
+            "mfu": round(clips * flops / V5E_BF16_PEAK, 4) if clips
+            else None,
+            "encode_batch": st["used_b"],
+            "flops_per_clip_g": round(flops / 1e9, 1),
+            "gpu_ref_clips_s": round(gpu_ref, 1),
+            "gpu_ref_basis": "71 TFLOP/s fp16 (RTX 3090 tensor, fp32 acc) "
+                             f"x {GPU_ASSUMED_MFU:.0%} assumed MFU / "
+                             f"{flops / 1e9:.1f} GFLOP per clip",
+            "kmedoids_s_per_run": round(s, 5) if s else None,
+            "kmedoids_vs_3090": round(REF_KMEDOIDS_S / s, 2) if s else None,
+            "train_step_ms_b8": round(st["train8"], 2)
+            if st["train8"] else None,
+            "vit_b16_clips_s": round(st["b16"], 1) if st["b16"] else None,
+            "vit_b16_mfu": round(st["b16"] * b16_flops / V5E_BF16_PEAK, 4)
+            if st["b16"] else None,
+            "anet60_clips_s": round(st["anet"], 1) if st["anet"] else None,
+            "anet60_mfu": round(st["anet"] * anet_flops / V5E_BF16_PEAK, 4)
+            if st["anet"] else None,
+            "attention_kernel_parity": parity["ok"] if parity else None,
+            "attention_kernel_max_err": parity["max_err"]
+            if parity else None,
+            "attention_kernel_cases": parity["cases"] if parity else None,
+            "serve_qps_b32": round(serve["qps_b32"], 1) if serve else None,
+            "serve_query_ms_b1": round(serve["query_ms_b1"], 2)
+            if serve else None,
+            "serve_internal_qps_b32": round(serve["internal_qps_b32"], 1)
+            if serve and serve.get("internal_qps_b32") else None,
+            "serve_config": ({"gallery": serve["gallery"],
+                              "quantize": serve["quantize"],
+                              "topk": serve["topk"],
+                              "path": serve.get("path")} if serve
+                             else None),
+            "bench_budget_s": budget,
+            "bench_elapsed_s": round(time.monotonic() - t_start, 1),
+            "skipped": st["skipped"] or None,
+        }
+        print(json.dumps(out), flush=True)
+
+    # ---- headline: encode throughput (compiles in ~10 s warm-cache,
+    # ~5-8 min cold over the tunnel — give it the bulk of the budget)
+    for b in (ENCODE_BATCH, ENCODE_BATCH, 16):
+        to = remaining() - 30
+        if to < 60:
+            break
+        clips = _run_child(["--encode", str(b)], timeout=to)
+        if clips is not None:
+            st["clips"], st["used_b"] = clips, b
+            break
+        if remaining() > 420:  # only back off while there is room to retry
+            time.sleep(45)
+    emit()  # first parseable line — the floor the driver can always read
+
+    # ---- secondaries, priority order; (key, argv, min useful window s)
+    plan = (
+        ("kmedoids", ["--kmedoids"], 45, _run_child),
+        ("train8", ["--train8"], 90, _run_child),
+        ("serve", ["--serve"], 90, _run_child_json),
+        ("b16", ["--b16"], 60, _run_child),
+        ("anet", ["--anet"], 60, _run_child),
+        ("parity", ["--attnparity"], 90, _run_child_json),
+    )
+    for key, args, floor, runner in plan:
+        to = remaining() - 15
+        if to < floor:
+            st["skipped"].append(key)
+            continue
+        val = runner(args, timeout=to)
+        if val is None and remaining() - 15 > floor + 60:
+            time.sleep(20)  # brief worker-recovery pause, then one retry
+            val = runner(args, timeout=remaining() - 15)
+        st[key] = val
+        emit()
+    if st["skipped"]:
+        emit()
 
 
 if __name__ == "__main__":

@@ -102,7 +102,20 @@ def gallery_video_ids(dataset, multi_sentence: bool,
     elif hasattr(dataset, "data") and "video_id" in getattr(
             dataset.data, "columns", ()):
         row_ids = [str(v) for v in dataset.data["video_id"].values]
+    elif hasattr(dataset, "pairs"):
+        # pairs shapes: FrameStoreClipDataset list[(video_id, caption)],
+        # DiDeMo dict{i: (video_id, sub_id)}, ActivityNet
+        # dict{i: (pseudo_id, video_id, sub_id)}
+        pairs = dataset.pairs
+        if isinstance(pairs, dict):
+            pairs = [pairs[i] for i in range(len(pairs))]
+        row_ids = [str(p[1] if len(p) == 3 else p[0]) for p in pairs]
     else:
+        logger.warning(
+            "dataset %s exposes no video ids (no sentences_dict / data "
+            "frame / pairs) — falling back to synthetic video{i} ids; "
+            "query results will NOT name real videos",
+            type(dataset).__name__)
         row_ids = [f"video{i}" for i in range(len(dataset))]
     if multi_sentence:
         return [row_ids[c - 1] for c in cut_off_points]

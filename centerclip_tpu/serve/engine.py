@@ -131,8 +131,13 @@ class RetrievalEngine:
                                    self._device_put(self._pad_rows(
                                        ids, self._bucket(b))))
             if self.index is not None:
-                last = self.index.search(np.asarray(jax.device_get(emb)),
-                                         k=k)
+                # slice back to b rows (as encode_token_ids does) so the
+                # warmed (query-bucket, k) executables match the shapes a
+                # live `search()` will actually dispatch — with a mesh the
+                # padded shape is mesh-rounded, which VideoIndex.search
+                # would never see
+                last = self.index.search(
+                    np.asarray(jax.device_get(emb))[:b], k=k)
         if last is not None:
             jax.device_get(last)
         return len(buckets)

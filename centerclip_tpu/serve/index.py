@@ -78,32 +78,43 @@ class VideoIndex:
         self.dim = int(emb.shape[1])
         self.n_valid = int(emb.shape[0])
 
-        # pad rows so the on-device shape divides the mesh (and stays
-        # MXU-tileable); padded rows are masked to -inf inside the kernel
-        mult = 8
-        if mesh is not None:
-            mult = max(mult, int(np.prod([mesh.shape[a]
-                                          for a in mesh.axis_names])))
-        n_pad = (self.n_valid + mult - 1) // mult * mult
-        if n_pad != self.n_valid:
-            emb = np.concatenate(
-                [emb, np.zeros((n_pad - self.n_valid, self.dim), np.float32)])
-        self.n_padded = n_pad
+        codes, scales = self._quantize_rows(emb)
+        self._codes_host, self._scales_host = self._pad_rows(codes, scales)
+        self._place()
+        self._search_cache = {}
 
-        if quantize == "int8":
+    # ---------------------------------------------------------- quantisation
+    def _quantize_rows(self, emb: np.ndarray):
+        """[N, D] fp32 (already L2-normalised) -> (codes, scales|None) in
+        the index's storage dtype.  Single source of truth for __init__ and
+        `add` so the two can never drift (add-vs-fresh exactness is pinned
+        by tests/test_serve.py)."""
+        if self.quantize == "int8":
             scale = np.max(np.abs(emb), axis=1, keepdims=True) / 127.0
             scale = np.where(scale == 0.0, 1.0, scale)
             codes = np.clip(np.rint(emb / scale), -127, 127).astype(np.int8)
-            self._codes_host = codes
-            self._scales_host = scale.astype(np.float32)
-        elif quantize == "bfloat16":
-            self._codes_host = np.asarray(jnp.asarray(emb, jnp.bfloat16))
-            self._scales_host = None
-        else:
-            self._codes_host = emb
-            self._scales_host = None
-        self._place()
-        self._search_cache = {}
+            return codes, scale.astype(np.float32)
+        if self.quantize == "bfloat16":
+            return np.asarray(jnp.asarray(emb, jnp.bfloat16)), None
+        return emb.astype(np.float32), None
+
+    def _pad_rows(self, codes: np.ndarray, scales):
+        """Pad rows so the on-device shape divides the mesh (and stays
+        MXU-tileable); padded rows are masked to -inf inside the kernel.
+        Sets self.n_padded; returns (codes_host, scales_host)."""
+        mult = 8
+        if self.mesh is not None:
+            mult = max(mult, int(np.prod([self.mesh.shape[a]
+                                          for a in self.mesh.axis_names])))
+        self.n_padded = (self.n_valid + mult - 1) // mult * mult
+        pad = self.n_padded - codes.shape[0]
+        if pad:
+            codes = np.concatenate(
+                [codes, np.zeros((pad, self.dim), codes.dtype)])
+            if scales is not None:
+                scales = np.concatenate(
+                    [scales, np.ones((pad, 1), np.float32)])
+        return codes, scales
 
     # ------------------------------------------------------------- placement
     def _place(self):
@@ -183,35 +194,15 @@ class VideoIndex:
         if emb.shape[0] != len(video_ids):
             raise ValueError("len(video_ids) != embeddings rows")
 
-        old_codes = self._codes_host[: self.n_valid]
-        if self.quantize == "int8":
-            scale = np.max(np.abs(emb), axis=1, keepdims=True) / 127.0
-            scale = np.where(scale == 0.0, 1.0, scale)
-            new_codes = np.clip(np.rint(emb / scale), -127,
-                                127).astype(np.int8)
-            old_scales = self._scales_host[: self.n_valid]
-            scales = np.concatenate([old_scales, scale.astype(np.float32)])
-        elif self.quantize == "bfloat16":
-            new_codes = np.asarray(jnp.asarray(emb, jnp.bfloat16))
-            scales = None
-        else:
-            new_codes = emb
-            scales = None
-        codes = np.concatenate([old_codes, new_codes])
+        new_codes, new_scales = self._quantize_rows(emb)
+        codes = np.concatenate([self._codes_host[: self.n_valid], new_codes])
+        scales = (np.concatenate([self._scales_host[: self.n_valid],
+                                  new_scales])
+                  if new_scales is not None else None)
 
         self.video_ids += [str(v) for v in video_ids]
         self.n_valid = int(codes.shape[0])
-        mult = 8
-        if self.mesh is not None:
-            mult = max(mult, int(np.prod([self.mesh.shape[a]
-                                          for a in self.mesh.axis_names])))
-        self.n_padded = (self.n_valid + mult - 1) // mult * mult
-        pad = self.n_padded - self.n_valid
-        self._codes_host = np.concatenate(
-            [codes, np.zeros((pad, self.dim), codes.dtype)])
-        if scales is not None:
-            self._scales_host = np.concatenate(
-                [scales, np.ones((pad, 1), np.float32)])
+        self._codes_host, self._scales_host = self._pad_rows(codes, scales)
         self._place()
         # the cached executables close over the OLD n_valid pad mask
         self._search_cache = {}
