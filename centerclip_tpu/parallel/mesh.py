@@ -21,6 +21,38 @@ MODEL_AXIS = "model"
 PIPE_AXIS = "pipe"
 
 
+def current_mesh():
+    """The ambient compute mesh at trace time, or ``None``.
+
+    Public-API replacement for reading ``thread_resources.env.physical_mesh``
+    off ``jax._src`` (VERDICT r3 next #8).  Resolution order:
+
+    1. ``jax.sharding.get_abstract_mesh()`` — the new-style context set by
+       ``jax.set_mesh`` / ``jax.sharding.use_mesh``;
+    2. ``jax.interpreters.pxla.thread_resources`` — the legacy
+       ``with mesh:`` context manager's store.  Deprecated since jax 0.8.2
+       but still a *public* namespace; guarded so its eventual removal
+       degrades to (1) instead of breaking TP/SP/PP at import time.
+
+    Callers only read ``.empty`` / ``.axis_names`` / ``.shape``, which both
+    ``Mesh`` and ``AbstractMesh`` expose.
+    """
+    abstract = jax.sharding.get_abstract_mesh()
+    if not abstract.empty:
+        return abstract
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+            legacy = pxla.thread_resources.env.physical_mesh
+        if not legacy.empty:
+            return legacy
+    except (ImportError, AttributeError):  # removed in a future jax
+        pass
+    return None
+
+
 def create_mesh(num_devices: int = 0,
                 devices: Optional[list] = None,
                 tensor_parallel: int = 1,
@@ -74,9 +106,8 @@ def shard_tokens(x):
     has no model axis to shard over) — so eval paths and single-chip runs
     are untouched.
     """
-    from jax._src import mesh as mesh_lib
-    m = mesh_lib.thread_resources.env.physical_mesh
-    if m.empty or MODEL_AXIS not in m.axis_names:
+    m = current_mesh()
+    if m is None or MODEL_AXIS not in m.axis_names:
         return x
     spec = P(DATA_AXIS, MODEL_AXIS, *([None] * (x.ndim - 2)))
     return jax.lax.with_sharding_constraint(x, spec)
@@ -209,9 +240,14 @@ def process_barrier(name: str, timeout_ms: int = 3600_000) -> None:
     can take minutes.  Without this, a non-zero rank finishing its epoch
     runs ahead (or exits, tripping the 300 s shutdown barrier and killing
     rank 0 — observed in tests/test_multiprocess.py).  No-op when
-    single-process."""
+    single-process.
+
+    Implementation rides orbax's public multihost barrier (itself the
+    coordination-service KV barrier, ``client.wait_at_barrier``) instead of
+    importing ``jax._src.distributed`` directly — jax exposes no public
+    handle to the coordination client, and orbax is already a hard
+    dependency (train/state.py)."""
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
-    distributed.global_state.client.wait_at_barrier(
-        name, timeout_in_ms=timeout_ms)
+    from orbax.checkpoint import multihost
+    multihost.get_barrier_sync_fn()(key=name, timeout_ms=timeout_ms)

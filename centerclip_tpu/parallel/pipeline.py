@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .mesh import DATA_AXIS, PIPE_AXIS
+from .mesh import DATA_AXIS, PIPE_AXIS, current_mesh
 
 
 def context_pipe_size() -> int:
@@ -44,9 +44,8 @@ def context_pipe_size() -> int:
     eval encoders and single-chip runs trace outside one and fall back to
     the sequential block loop.
     """
-    from jax._src import mesh as mesh_lib
-    m = mesh_lib.thread_resources.env.physical_mesh
-    if m.empty or PIPE_AXIS not in m.axis_names:
+    m = current_mesh()
+    if m is None or PIPE_AXIS not in m.axis_names:
         return 0
     return m.shape[PIPE_AXIS]
 
@@ -64,9 +63,8 @@ def pipeline_blocks(block_params: Sequence, apply_one: Callable,
     microbatches: GPipe microbatch count M; 0 means M = S.  Bubble
       fraction is ``(S-1)/(M+S-1)``.
     """
-    from jax._src import mesh as mesh_lib
-    mesh = mesh_lib.thread_resources.env.physical_mesh
-    if mesh.empty or PIPE_AXIS not in mesh.axis_names:
+    mesh = current_mesh()
+    if mesh is None or PIPE_AXIS not in mesh.axis_names:
         raise RuntimeError("pipeline_blocks must be traced inside a "
                            "(data, pipe) mesh context")
     S = mesh.shape[PIPE_AXIS]

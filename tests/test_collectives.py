@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from centerclip_tpu.parallel.collectives import (all_gather,
                                                  all_gather_local_grads, psum)
