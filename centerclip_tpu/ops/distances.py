@@ -37,6 +37,25 @@ def squared_l2_distance(x: jax.Array, y: jax.Array) -> jax.Array:
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
+    # The matmul identity's error is ABSOLUTE (~eps * |x| * |y|), so close
+    # pairs carry huge RELATIVE error — enough to flip medoid/assignment
+    # argmins (found by tests/test_reference_oracle.py).  torch.cdist makes
+    # the same trade: direct (x-y)^2 up to 25 rows, matmul above
+    # (compute_mode='use_mm_for_euclid_dist_if_necessary'), so the
+    # reference's own real configs (N = 98/196 clustering points) run the
+    # mm identity too.  Mirror that: small-N goes direct (exact, O(N*M*D)
+    # VPU — trivial at these sizes and what the tiny torch oracle compares
+    # against), large-N stays on the MXU.
+    if x.shape[-2] <= 25 and y.shape[-2] <= 25:
+        diff = x[..., :, None, :] - y[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    # Mean-center before the matmul identity: distances are translation-
+    # invariant, and LN'd ViT tokens share positional structure
+    # (||x|| >> ||x - y||) — centering shrinks norms to the data spread,
+    # cutting the absolute error ~3x at zero MXU cost.
+    mu = jnp.mean(x, axis=-2, keepdims=True)
+    x = x - mu
+    y = y - mu
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)            # [..., N, 1]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)            # [..., M, 1]
     # HIGHEST precision: on TPU the default matmul rounds inputs to bf16,
@@ -45,7 +64,14 @@ def squared_l2_distance(x: jax.Array, y: jax.Array) -> jax.Array:
     xy = jnp.matmul(x, jnp.swapaxes(y, -1, -2),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)     # [..., N, M]
-    d2 = x2 - 2.0 * xy + jnp.swapaxes(y2, -1, -2)
+    # grouping matters: (x2 + y2^T) - 2xy is bitwise SYMMETRIC for x == y
+    # (fp addition is commutative and xy[i,j] == xy[j,i] accumulate
+    # identically), while the naive (x2 - 2xy) + y2^T is not — an
+    # asymmetric-at-the-ulp matrix breaks the exact within-cluster-sum tie
+    # of every 2-point cluster in the medoid update, flipping medoid ids
+    # vs the reference's first-index argmin (found by the torch oracle,
+    # tests/test_reference_oracle.py)
+    d2 = (x2 + jnp.swapaxes(y2, -1, -2)) - 2.0 * xy
     return jnp.maximum(d2, 0.0)
 
 

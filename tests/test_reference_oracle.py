@@ -1,0 +1,410 @@
+# coding=utf-8
+"""End-to-end numerical oracle against the reference's ACTUAL torch code
+(VERDICT r3 next #2).
+
+The CenterCLIP-specific core was previously pinned only against self-written
+NumPy ports, which could share a misreading of the reference.  Here the
+oracle is /root/reference itself, imported as a synthetic package
+(``refcc.*`` — no sys.path pollution) with its own ``params.get_args``
+supplying every default, and a tiny-but-structurally-real CLIP4Clip
+(2+2 blocks, width 64, 4 frames -> 2, 4 tokens -> 3 by k-medoids) built by
+the reference's own constructor.  Its random-init weights flow through OUR
+converter (models/weights.py) into the flax model, so every test pins the
+model math AND the converter.
+
+Pinned against the reference on identical inputs:
+* k-medoids assignments + medoids vs `batch_fast_kmedoids_with_split`
+  (modules/cluster/fast_kmeans.py:14-97), euclidean + cosine, exact.
+* clustered visual output + mask-after-cluster vs
+  modules/clip4clip.py:228-243,436-447 (the full in-ViT cluster
+  choreography of modules/cluster/cluster.py:206-310).
+* similarity logits (meanP AND seqTransf) + CrossEn training loss vs
+  modules/clip4clip.py:324-367 and modules/losses.py:8-18.
+* single- and multi-sentence retrieval metrics vs utils/metrics.py and the
+  eval reshape of main.py:466-479.
+
+Tolerances: fp32 end-to-end; 2e-4 relative on features/logits (same budget
+as the HF-tower parity test).  The clustering itself is discrete — if
+torch/jax fp differences ever flipped an argmin the feature comparison
+would fail loudly, so seeds are fixed.
+"""
+import importlib
+import io
+import contextlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from centerclip_tpu import config as cfg_mod  # noqa: E402
+from centerclip_tpu.config import make_run_config  # noqa: E402
+from centerclip_tpu.models.clip4clip import CLIP4Clip  # noqa: E402
+from centerclip_tpu.models.losses import cross_entropy  # noqa: E402
+from centerclip_tpu.models.weights import state_dict_to_params  # noqa: E402
+from centerclip_tpu.ops.kmedoids import batch_fast_kmedoids  # noqa: E402
+from centerclip_tpu.train import metrics as our_metrics  # noqa: E402
+
+REF_DIR = "/root/reference"
+if not os.path.isdir(os.path.join(REF_DIR, "modules")):
+    pytest.skip("reference checkout not present", allow_module_level=True)
+
+# ---------------------------------------------------------------- ref import
+# Synthetic package: modules/, utils/, params.py under one root, so the
+# reference's relative imports resolve without putting /root/reference on
+# sys.path.  Net-only deps of modules/file.py are stubbed (never called).
+_stubbed = []
+for _name in ("boto3", "botocore", "botocore.exceptions", "ftfy", "regex"):
+    if _name in sys.modules:
+        continue
+    try:
+        importlib.import_module(_name)
+        continue
+    except ImportError:
+        pass
+    _m = types.ModuleType(_name)
+    if _name == "botocore.exceptions":
+        _m.ClientError = type("ClientError", (Exception,), {})
+    sys.modules[_name] = _m
+    _stubbed.append(_name)
+if "refcc" not in sys.modules:
+    _pkg = types.ModuleType("refcc")
+    _pkg.__path__ = [REF_DIR]
+    sys.modules["refcc"] = _pkg
+
+ref_fast_kmeans = importlib.import_module("refcc.modules.cluster.fast_kmeans")
+ref_losses = importlib.import_module("refcc.modules.losses")
+ref_metrics = importlib.import_module("refcc.utils.metrics")
+ref_module_cross = importlib.import_module("refcc.modules.module_cross")
+ref_clip4clip = importlib.import_module("refcc.modules.clip4clip")
+ref_params = importlib.import_module("refcc.params")
+
+# drop the import-time stubs immediately: a stub left in sys.modules has
+# __spec__=None and poisons later `import transformers` in OTHER test
+# modules (found as an ordering-dependent suite failure).  The refcc
+# modules keep their own references to the stub objects, which is all
+# they need (the stubbed deps are never called in these tests).
+for _name in _stubbed:
+    sys.modules.pop(_name, None)
+
+# --------------------------------------------------------------- tiny config
+W, EMBED, PATCH, RES, VOCAB, CTX = 64, 64, 16, 32, 512, 16
+LAYERS, HEADS = 2, 1                     # ref: heads = width // 64
+T, T_FINAL, K_TOKENS = 4, 2, 3           # frames 4->2, tokens 4->3 (blk 2)
+CLUSTER_NUM_BLOCKS = (4, 3)
+TARGET_FRAMES_BLOCKS = (4, 2)
+
+TINY_ARCH = dict(embed_dim=EMBED, image_resolution=RES, vision_layers=LAYERS,
+                 vision_width=W, vision_patch_size=PATCH, vision_heads=HEADS,
+                 context_length=CTX, vocab_size=VOCAB, transformer_width=W,
+                 transformer_heads=HEADS, transformer_layers=LAYERS)
+cfg_mod.CLIP_ARCHS["tiny-oracle"] = TINY_ARCH
+
+
+def ref_task_config(tmpdir: str, sim_header: str):
+    """All reference defaults via the reference's own parser
+    (params.py:19-308), overriding only the tiny-model/cluster surface."""
+    argv = ["oracle", "--output_dir", tmpdir, "--loose_type",
+            "--do_train", "1", "--sim_header", sim_header,
+            "--max_words", str(CTX), "--max_frames", str(T),
+            "--cluster_inter", "1", "--cluster_algo", "kmediods++",
+            "--cluster_num_blocks", *map(str, CLUSTER_NUM_BLOCKS),
+            "--target_frames_blocks", *map(str, TARGET_FRAMES_BLOCKS),
+            "--visual_num_hidden_layers", str(LAYERS),
+            "--text_num_hidden_layers", str(LAYERS),
+            "--cross_num_hidden_layers", str(LAYERS)]
+    saved = sys.argv
+    sys.argv = argv
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            return ref_params.get_args()
+    finally:
+        sys.argv = saved
+
+
+def shape_only_state_dict():
+    """Minimal tensors for build_clip_model's shape inference
+    (reference modules/clip.py:554-577); weights stay random-init."""
+    z = torch.zeros
+    grid = RES // PATCH
+    sd = {"visual.proj": z(W, EMBED),
+          "visual.conv1.weight": z(W, 3, PATCH, PATCH),
+          "visual.positional_embedding": z(grid * grid + 1, W),
+          "text_projection": z(W, EMBED),
+          "positional_embedding": z(CTX, W),
+          "token_embedding.weight": z(VOCAB, W),
+          "ln_final.weight": z(W)}
+    for i in range(LAYERS):
+        sd[f"visual.transformer.resblocks.{i}.attn.in_proj_weight"] = \
+            z(3 * W, W)
+        sd[f"transformer.resblocks.{i}.attn.in_proj_weight"] = z(3 * W, W)
+    return sd
+
+
+@pytest.fixture(scope="module", params=["meanP", "seqTransf"])
+def pair(request, tmp_path_factory):
+    """(ref torch model, our model, our variables, sim_header) with OUR
+    params converted from the reference model's state_dict."""
+    sim_header = request.param
+    tmpdir = str(tmp_path_factory.mktemp(f"ref_oracle_{sim_header}"))
+    args = ref_task_config(tmpdir, sim_header)
+    cc, _ = ref_module_cross.CrossConfig.get_config(
+        "cross-base", "", 2, state_dict=None, task_config=args)
+    cc.hidden_size = EMBED
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref = ref_clip4clip.CLIP4Clip(cc, shape_only_state_dict(), args)
+    ref = ref.float().eval()
+
+    run = make_run_config(
+        clip_name="tiny-oracle", sim_header=sim_header, loose_type=True,
+        max_words=CTX, max_frames=T, compute_dtype="float32",
+        cross_num_hidden_layers=LAYERS,
+        inter=True, algo="kmediods++",
+        cluster_num_blocks=CLUSTER_NUM_BLOCKS,
+        target_frames_blocks=TARGET_FRAMES_BLOCKS,
+        threshold=args.cluster_threshold, iter_limit=args.cluster_iter_limit)
+    ours = CLIP4Clip(run.model)
+    init = ours.init(jax.random.PRNGKey(0),
+                     input_ids=jnp.zeros((2, CTX), jnp.int32),
+                     attention_mask=jnp.ones((2, CTX), jnp.int32),
+                     video=jnp.zeros((2, 1, T, 3, RES, RES), jnp.float32),
+                     video_mask=jnp.ones((2, T), jnp.int32))["params"]
+    # non-parameter buffers (torch MultiheadAttention position_ids etc.)
+    # are not weights; the converter must consume everything else
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if not k.endswith("position_ids")}
+    params, report = state_dict_to_params(sd, run.model, init_params=init)
+    assert not report["missing"], report["missing"]
+    assert not report["unexpected"], report["unexpected"]
+    return ref, ours, {"params": params}, sim_header
+
+
+def make_inputs(seed=7, B=4):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(1, VOCAB, size=(B, CTX)).astype(np.int64)
+    attention_mask = np.ones((B, CTX), np.int64)
+    video = rng.normal(size=(B, 1, T, 3, RES, RES)).astype(np.float32)
+    video_mask = np.ones((B, T), np.int64)
+    return ids, attention_mask, video, video_mask
+
+
+# ------------------------------------------------------------- k-medoids op
+def _ref_within_sums(X, assign, meds, distance, pre_norm):
+    cluster_utils = importlib.import_module(
+        "refcc.modules.cluster.cluster_utils")
+    Xt = torch.from_numpy(X)
+    if pre_norm:
+        Xt = Xt / (Xt.norm(dim=-1, keepdim=True) + 1e-6)
+    D = cluster_utils.pairwise_distance(
+        Xt, Xt, metric=distance, all_negative=True,
+        self_nearest=True, p=2.0).double().numpy()
+    B, K = meds.shape
+    sums = np.zeros((B, K))
+    for b in range(B):
+        for k in range(K):
+            members = np.where(assign[b] == k)[0]
+            sums[b, k] = D[b][meds[b, k]][members].sum()
+    return sums
+
+
+def check_kmedoids_against_reference(X, K, distance="euclidean",
+                                     pre_norm=False, split_size=16):
+    ref_assign, ref_meds = ref_fast_kmeans.batch_fast_kmedoids_with_split(
+        torch.from_numpy(X), K, distance=distance, threshold=1e-5,
+        iter_limit=60, id_sort=True, norm_p=2.0, split_size=split_size,
+        pre_norm=pre_norm)
+    assign, meds = batch_fast_kmedoids(jnp.asarray(X), K, distance=distance,
+                                       threshold=1e-5, iter_limit=60,
+                                       id_sort=True, norm_p=2.0,
+                                       pre_norm=pre_norm)
+    assign, meds = np.asarray(assign), np.asarray(meds)
+    np.testing.assert_array_equal(assign, ref_assign.numpy())
+    if np.array_equal(meds, ref_meds.numpy()):
+        return
+    # differing ids must be equally-optimal ties: score BOTH choices under
+    # the reference's own distance matrix (fp64) — every 2-point cluster is
+    # an exact tie (d(a,b)=d(b,a)) and which optimum a run settles on
+    # depends on the Lloyd trajectory, so id equality is over-strict
+    ours_sums = _ref_within_sums(X, assign, meds, distance, pre_norm)
+    ref_sums = _ref_within_sums(X, ref_assign.numpy(), ref_meds.numpy(),
+                                distance, pre_norm)
+    np.testing.assert_allclose(ours_sums, ref_sums, rtol=1e-6, atol=1e-6)
+    # and our medoids must live inside their own clusters
+    B, Kn = meds.shape
+    for b in range(B):
+        for k in range(Kn):
+            assert assign[b][meds[b, k]] == k
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "cosine"])
+def test_kmedoids_matches_reference(distance, rng):
+    """assign/medoids vs the reference's batch_fast_kmedoids_with_split,
+    including the split path (split_size < B)."""
+    X = rng.normal(size=(6, 8, 16)).astype(np.float32)
+    check_kmedoids_against_reference(X, 3, distance=distance, split_size=4)
+
+
+def test_kmedoids_pre_norm_off_matches_reference(rng):
+    X = (5.0 * rng.normal(size=(3, 8, 12))).astype(np.float32)
+    check_kmedoids_against_reference(X, 4, pre_norm=False)
+
+
+def test_kmedoids_pre_norm_objective_matches_reference(rng):
+    """pre_norm projects every point onto the unit sphere, so KKZ's
+    max-L2-norm FIRST pick (cluster_utils.py:93-96) becomes an N-way
+    fp-level tie and torch/jax legitimately seed different trajectories.
+    Pin the solution QUALITY instead: the k-medoids objective (sum of
+    within-cluster distances to the chosen medoids, fp64 under the
+    reference's own distance matrix) must match the reference's."""
+    X = (5.0 * rng.normal(size=(3, 8, 12))).astype(np.float32)
+    ref_assign, ref_meds = ref_fast_kmeans.batch_fast_kmedoids_with_split(
+        torch.from_numpy(X), 4, split_size=16, pre_norm=True)
+    assign, meds = batch_fast_kmedoids(jnp.asarray(X), 4, pre_norm=True)
+    assign, meds = np.asarray(assign), np.asarray(meds)
+    ours = _ref_within_sums(X, assign, meds, "euclidean", True).sum(axis=1)
+    ref = _ref_within_sums(X, ref_assign.numpy(), ref_meds.numpy(),
+                           "euclidean", True).sum(axis=1)
+    # distances are all-negative: a LOWER sum is a strictly better optimum.
+    # Different tie-seeded trajectories land on different local optima;
+    # ours must be at least as good as the reference's (observed: ours
+    # strictly better on one batch row).
+    assert np.all(ours <= ref + 1e-5 * np.abs(ref)), (ours, ref)
+    for b in range(meds.shape[0]):
+        for k in range(meds.shape[1]):
+            assert assign[b][meds[b, k]] == k
+
+
+# ------------------------------------------------------- model-level parity
+def test_sequence_output_matches_reference(pair):
+    ref, ours, variables, _ = pair
+    ids, am, _, _ = make_inputs()
+    with torch.no_grad():
+        ref_seq = ref.get_sequence_output(
+            torch.from_numpy(ids), torch.zeros_like(torch.from_numpy(ids)),
+            torch.from_numpy(am)).numpy()
+    got = np.asarray(ours.apply(
+        variables, jnp.asarray(ids, jnp.int32),
+        method=lambda m, t: m.get_sequence_output(t)))
+    np.testing.assert_allclose(got, ref_seq, rtol=2e-4, atol=2e-5)
+
+
+def test_visual_output_and_mask_match_reference(pair):
+    """The whole in-ViT cluster choreography: segment split, k-medoids on
+    8 tokens -> 3 medoids, CLS averaging, re-interleave
+    (modules/cluster/cluster.py:206-310) + mask-after-cluster
+    (clip4clip.py:436-447)."""
+    ref, ours, variables, _ = pair
+    _, _, video, vm = make_inputs()
+    vm_t = torch.from_numpy(vm)
+    with torch.no_grad():
+        vm_ref = ref.get_video_mask_after_cluster(vm_t)
+        ref_vis, ref_closs = ref.get_visual_output(
+            torch.from_numpy(video).view(-1, 3, RES, RES), vm_ref,
+            video_frame=T)
+    vm_ours = np.asarray(ours.apply(
+        variables, jnp.asarray(vm),
+        method=lambda m, v: m.video_mask_after_cluster(v)))
+    np.testing.assert_array_equal(vm_ours, vm_ref.numpy())
+    assert vm_ours.shape == (video.shape[0], T_FINAL)
+
+    got, closs = ours.apply(
+        variables, jnp.asarray(video), jnp.asarray(vm_ours),
+        method=lambda m, v, mk: m.get_visual_output(v, mk))
+    assert float(closs) == 0.0 and float(ref_closs) == 0.0
+    np.testing.assert_allclose(np.asarray(got), ref_vis.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_similarity_logits_and_loss_match_reference(pair):
+    """Similarity logits (meanP/seqTransf headers) + symmetric CrossEn
+    training loss vs clip4clip.py:324-367 / losses.py:8-18 / the training
+    branch of clip4clip.py:245-261."""
+    ref, ours, variables, _ = pair
+    ids, am, video, vm = make_inputs()
+    ids_t, am_t = torch.from_numpy(ids), torch.from_numpy(am)
+    with torch.no_grad():
+        seq = ref.get_sequence_output(ids_t, torch.zeros_like(ids_t), am_t)
+        vm_ref = ref.get_video_mask_after_cluster(torch.from_numpy(vm))
+        vis, _ = ref.get_visual_output(
+            torch.from_numpy(video).view(-1, 3, RES, RES), vm_ref,
+            video_frame=T)
+        ref_logits, _ = ref.get_similarity_logits(seq, vis, am_t, vm_ref,
+                                                  shaped=True)
+        fct = ref_losses.CrossEn()
+        ref_loss = 0.5 * (fct(ref_logits) + fct(ref_logits.T))
+
+    out = ours.apply(variables, input_ids=jnp.asarray(ids, jnp.int32),
+                     attention_mask=jnp.asarray(am, jnp.int32),
+                     video=jnp.asarray(video), video_mask=jnp.asarray(vm),
+                     training=True)
+    sim_ours = np.asarray(ours.apply(
+        variables, out["sequence_output"], out["visual_output"],
+        jnp.asarray(am, jnp.int32),
+        jnp.asarray(np.asarray(vm_ref.numpy())),
+        method=lambda m, s, v, a, k: m.get_similarity_logits(s, v, a, k)))
+    np.testing.assert_allclose(sim_ours, ref_logits.numpy(),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(float(out["loss"]), float(ref_loss),
+                               rtol=1e-4, atol=1e-5)
+    # and our standalone CrossEn equals the reference's on the SAME matrix
+    ours_ce = float(cross_entropy(jnp.asarray(ref_logits.numpy())))
+    np.testing.assert_allclose(ours_ce, float(fct(ref_logits)),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------------ metrics
+def test_compute_metrics_matches_reference(rng):
+    sim = rng.normal(size=(20, 20)).astype(np.float32)
+    ref = ref_metrics.compute_metrics(sim)
+    got = our_metrics.compute_metrics(sim)
+    for key in ("R1", "R5", "R10", "MR", "MeanR"):
+        np.testing.assert_allclose(got[key], float(ref[key]), atol=1e-9)
+
+
+def test_multi_sentence_metrics_match_reference(rng):
+    """The multi-sentence eval protocol end-to-end: the -inf pack/reshape of
+    main.py:466-476 + tensor_text_to_video_metrics +
+    tensor_video_to_text_sim (utils/metrics.py:38-76) vs our
+    train/metrics.py pipeline on the same flat sim matrix."""
+    n_sent, n_vid = 11, 5
+    sim = rng.normal(size=(n_sent, n_vid)).astype(np.float32)
+    # reference convention: 0-based index of each video's LAST sentence
+    cut_off_points_ = [2, 4, 7, 8, 10]
+
+    # --- reference reshape, transcribed from main.py:468-474
+    cut_off_points2len_ = [itm + 1 for itm in cut_off_points_]
+    max_length = max([e_ - s_ for s_, e_ in zip([0] + cut_off_points2len_[:-1],
+                                                cut_off_points2len_)])
+    sim_matrix_new = []
+    for s_, e_ in zip([0] + cut_off_points2len_[:-1], cut_off_points2len_):
+        sim_matrix_new.append(np.concatenate(
+            (sim[s_:e_], np.full((max_length - e_ + s_, sim.shape[1]),
+                                 -np.inf)), axis=0))
+    ref_packed = np.stack(tuple(sim_matrix_new), axis=0)
+    ref_tv = ref_metrics.tensor_text_to_video_metrics(ref_packed)
+    ref_vt = ref_metrics.compute_metrics(
+        ref_metrics.tensor_video_to_text_sim(torch.tensor(ref_packed))
+        .numpy())
+
+    # --- ours (1-based end indices)
+    packed = our_metrics.reshape_multi_sentence_sim(sim, cut_off_points2len_)
+    np.testing.assert_array_equal(packed, ref_packed)
+    got_tv = our_metrics.tensor_text_to_video_metrics(packed)
+    got_vt = our_metrics.compute_metrics(
+        our_metrics.tensor_video_to_text_sim(packed))
+    for key in ("R1", "R5", "R10"):
+        np.testing.assert_allclose(got_tv[key], float(ref_tv[key]),
+                                   atol=1e-9)
+        np.testing.assert_allclose(got_vt[key], float(ref_vt[key]),
+                                   atol=1e-9)
+    np.testing.assert_allclose(got_tv["MeanR"], float(ref_tv["MeanR"]),
+                               atol=1e-9)
+    np.testing.assert_allclose(got_vt["MeanR"], float(ref_vt["MeanR"]),
+                               atol=1e-9)
