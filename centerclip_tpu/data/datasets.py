@@ -20,7 +20,6 @@ import json
 import math
 import os
 import pickle
-import random
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
@@ -50,11 +49,32 @@ class VideoTextDataset:
         self.frame_order = frame_order
         self.slice_framepos = slice_framepos
         self.video_suffix = video_suffix
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.decoder = VideoDecoder(size=image_resolution, is_train=is_train,
                                     num_segments=max_frames,
                                     lmdb_dataset=lmdb_dataset,
-                                    emit_uint8=raw_pixels, rng=self.rng)
+                                    emit_uint8=raw_pixels)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-key the per-sample augmentation RNG (DistributedSampler
+        set_epoch semantics; forwarded by BatchLoader.set_epoch)."""
+        self.epoch = epoch
+
+    def _sample_rng(self, idx: int) -> np.random.Generator:
+        """Stateless per-(seed, epoch, sample) generator.
+
+        A single dataset-level Generator shared by the loader's decode
+        threads makes every random draw depend on thread interleaving —
+        run-to-run nondeterminism whenever num_thread_reader > 1 (found by
+        the cross-process strategy-equivalence smoke,
+        tests/test_multiprocess.py).  Deriving a fresh generator per sample
+        keeps TSN sampling / caption choice / frame-order draws identical
+        for any thread count, shard layout, or visit order, while still
+        varying across epochs like the reference's per-worker reseeding.
+        """
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, int(idx)]))
 
     # --- text ---------------------------------------------------------------
     def _get_text(self, sentence: str) -> Tuple[np.ndarray, np.ndarray,
@@ -72,21 +92,23 @@ class VideoTextDataset:
 
     # --- video --------------------------------------------------------------
     def _get_rawvideo(self, video_path: str, start=None, end=None,
-                      random_shift=None) -> Tuple[np.ndarray, np.ndarray]:
+                      random_shift=None, rng=None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
         """reference: dataloader_msrvtt_retrieval.py:91-110"""
         video_mask = np.zeros((1, self.max_frames), np.int32)
         clip, slice_len = self.decoder.get_video_data(
             video_path, start_time=start, end_time=end,
-            random_shift=random_shift)
-        clip = self.decoder.process_frame_order(clip, self.frame_order)
+            random_shift=random_shift, rng=rng)
+        clip = self.decoder.process_frame_order(clip, self.frame_order,
+                                                rng=rng)
         video_mask[0, :slice_len] = 1
         if clip.dtype != np.uint8:  # raw-pixel path ships uint8 untouched
             clip = clip.astype(np.float32)
         return clip[None], video_mask
 
-    def _sample(self, sentence, video_path, start=None, end=None):
+    def _sample(self, sentence, video_path, start=None, end=None, rng=None):
         ids, mask, seg = self._get_text(sentence)
-        video, vmask = self._get_rawvideo(video_path, start, end)
+        video, vmask = self._get_rawvideo(video_path, start, end, rng=rng)
         return {"input_ids": ids, "attention_mask": mask, "segment_ids": seg,
                 "video": video, "video_mask": vmask}
 
@@ -111,7 +133,7 @@ class MSRVTTEvalDataset(VideoTextDataset):
         sentence = self.data["sentence"].values[idx]
         path = os.path.join(self.features_path,
                             f"{video_id}{self.video_suffix}")
-        return self._sample(sentence, path)
+        return self._sample(sentence, path, rng=self._sample_rng(idx))
 
 
 class MSRVTTTrainDataset(VideoTextDataset):
@@ -146,14 +168,16 @@ class MSRVTTTrainDataset(VideoTextDataset):
         return self.sample_len
 
     def __getitem__(self, idx):
+        rng = self._sample_rng(idx)
         if self.unfold_sentences:
             video_id, caption = self.sentences_dict[idx]
         else:
             video_id = self.csv["video_id"].values[idx]
-            caption = random.choice(self.sentences[video_id])
+            pool = self.sentences[video_id]
+            caption = pool[int(rng.integers(len(pool)))]
         path = os.path.join(self.features_path,
                             f"{video_id}{self.video_suffix}")
-        return self._sample(caption, path)
+        return self._sample(caption, path, rng=rng)
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +217,8 @@ class MSVDDataset(VideoTextDataset):
 
     def __getitem__(self, idx):
         video_id, caption = self.sentences_dict[idx]
-        return self._sample(caption, self.video_dict[video_id])
+        return self._sample(caption, self.video_dict[video_id],
+                            rng=self._sample_rng(idx))
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +259,8 @@ class LSMDCDataset(VideoTextDataset):
 
     def __getitem__(self, idx):
         clip_id, sentence = self.iter2video_pairs[idx]
-        return self._sample(sentence, self.video_dict[clip_id])
+        return self._sample(sentence, self.video_dict[clip_id],
+                            rng=self._sample_rng(idx))
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +317,7 @@ class ActivityNetDataset(VideoTextDataset):
         start, end = _sanitise_window(cap["start"][sub_id],
                                       cap["end"][sub_id])
         return self._sample(cap["text"][sub_id], self.video_dict[vid],
-                            start=start, end=end)
+                            start=start, end=end, rng=self._sample_rng(idx))
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +375,7 @@ class DiDeMoDataset(VideoTextDataset):
         start, end = _sanitise_window(cap["start"][sub_id],
                                       cap["end"][sub_id])
         return self._sample(cap["text"][sub_id], self.video_dict[video_id],
-                            start=start, end=end)
+                            start=start, end=end, rng=self._sample_rng(idx))
 
 
 def _sanitise_window(start, end):

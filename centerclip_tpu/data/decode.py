@@ -160,14 +160,21 @@ class VideoDecoder:
 
     # --- public API ----------------------------------------------------------
     def get_video_data(self, video_path: str, start_time=None, end_time=None,
-                       random_shift: Optional[bool] = None
+                       random_shift: Optional[bool] = None,
+                       rng: Optional[np.random.Generator] = None
                        ) -> Tuple[np.ndarray, int]:
         """Decode + sample one clip.
 
         Returns ([T=num_segments, C, H=size, W=size] float32 CLIP-normalised
         frames, valid frame count for the mask) — decode.py:51-101.
+
+        ``rng`` overrides the decoder-level generator; datasets pass a
+        per-(seed, epoch, sample) generator so concurrent decode threads
+        never interleave draws on shared RNG state (run-to-run
+        nondeterminism — see datasets.VideoTextDataset._sample_rng).
         """
         random_shift = True if random_shift is None else random_shift
+        rng = rng if rng is not None else self.rng
         frames, num_frames = self._read_all_frames(video_path, start_time,
                                                    end_time)
         if self._resolve_backend(video_path) in ("npy",) and (
@@ -178,7 +185,7 @@ class VideoDecoder:
         if self.train:
             inds = multi_segments_sampling(self.num_segments, num_frames,
                                            random_shift=random_shift,
-                                           rng=self.rng)
+                                           rng=rng)
         else:
             inds = uniform_sampling(self.num_segments, num_frames)
 
@@ -187,19 +194,21 @@ class VideoDecoder:
             from .transforms import clip_transform_uint8
             tensor = clip_transform_uint8(sampled, self.size)
         elif self.train:
-            tensor = clip_train_transform(sampled, self.size, rng=self.rng)
+            tensor = clip_train_transform(sampled, self.size, rng=rng)
         else:
             tensor = clip_eval_transform(sampled, self.size)
         frame_length = min(num_frames, self.num_segments)
         return tensor, frame_length
 
-    def process_frame_order(self, video: np.ndarray, frame_order: int = 0
+    def process_frame_order(self, video: np.ndarray, frame_order: int = 0,
+                            rng: Optional[np.random.Generator] = None
                             ) -> np.ndarray:
         """0 ordinary / 1 reverse / 2 random (decode.py:109-122)."""
         if frame_order == 1:
             return video[::-1].copy()
         if frame_order == 2:
-            order = self.rng.permutation(video.shape[0])
+            rng = rng if rng is not None else self.rng
+            order = rng.permutation(video.shape[0])
             return video[order]
         return video
 

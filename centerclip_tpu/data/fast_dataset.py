@@ -45,7 +45,8 @@ class FrameStoreClipDataset:
         self.max_frames = max_frames
         self.size = image_resolution
         self.is_train = is_train
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         # resolve entries + frame counts once
         self._entry_ids = np.array(
             [self.store.entry_id(vid) for vid, _ in self.pairs], np.int64)
@@ -59,10 +60,17 @@ class FrameStoreClipDataset:
     def __len__(self) -> int:
         return len(self.pairs)
 
-    def _sample_indices(self, n_frames: int) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _sample_indices(self, n_frames: int, sample_idx: int) -> np.ndarray:
         if self.is_train:
+            # keyed per (seed, epoch, sample): draws are identical for any
+            # visit order or shard layout (see datasets._sample_rng)
+            rng = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, self.epoch, int(sample_idx)]))
             return multi_segments_sampling(self.max_frames, n_frames,
-                                           random_shift=True, rng=self.rng)
+                                           random_shift=True, rng=rng)
         return uniform_sampling(self.max_frames, n_frames)
 
     def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
@@ -72,7 +80,7 @@ class FrameStoreClipDataset:
         vmask = np.zeros((B, T), np.int32)
         for i, j in enumerate(idx):
             nf = int(self._num_frames[j])
-            frame_idx[i] = self._sample_indices(nf)
+            frame_idx[i] = self._sample_indices(nf, j)
             vmask[i, : min(nf, T)] = 1
         if self.device_normalize:
             # raw uint8 pixels; the model normalizes on-device

@@ -62,6 +62,10 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # the dataset's augmentation RNG is keyed by (seed, epoch, sample)
+        # so threaded decode stays run-to-run deterministic
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -171,6 +171,44 @@ def test_msrvtt_train_dataset_unfold(msrvtt_root, tok):
     assert s["video"].shape == (1, 6, 3, 224, 224)
 
 
+def test_threaded_loader_is_run_deterministic(msrvtt_root, tok):
+    """Augmentation draws are keyed per (seed, epoch, sample), so a threaded
+    loader yields bit-identical batches for ANY thread count or run —
+    a dataset-level shared Generator made every TSN draw depend on thread
+    interleaving (run-to-run loss divergence, found by the cross-process
+    strategy-equivalence smoke in test_multiprocess.py)."""
+    def batches(threads, epoch):
+        ds = MSRVTTTrainDataset(csv_path=str(msrvtt_root / "train.csv"),
+                                json_path=str(msrvtt_root / "MSRVTT_data.json"),
+                                features_path=str(msrvtt_root / "videos"),
+                                unfold_sentences=True, tokenizer=tok,
+                                max_words=16, max_frames=6,
+                                video_suffix=".npy")
+        loader = BatchLoader(ds, 4, shuffle=True, drop_last=True, seed=7,
+                             num_threads=threads)
+        loader.set_epoch(epoch)
+        return list(loader)
+
+    a, b, c = batches(4, 1), batches(4, 1), batches(1, 1)
+    for x, y, z in zip(a, b, c):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])   # same run twice
+            np.testing.assert_array_equal(x[k], z[k])   # any thread count
+    # a new epoch re-keys the TSN frame sampling itself (same sample idx,
+    # different epoch -> different random segment offsets for some video
+    # long enough to have >1 frame per segment)
+    ds = MSRVTTTrainDataset(csv_path=str(msrvtt_root / "train.csv"),
+                            json_path=str(msrvtt_root / "MSRVTT_data.json"),
+                            features_path=str(msrvtt_root / "videos"),
+                            unfold_sentences=True, tokenizer=tok,
+                            max_words=16, max_frames=6, video_suffix=".npy")
+    def epoch_videos(epoch):
+        ds.set_epoch(epoch)
+        return [ds[i]["video"] for i in range(len(ds))]
+    e1, e2 = epoch_videos(1), epoch_videos(2)
+    assert any(not np.array_equal(x, y) for x, y in zip(e1, e2))
+
+
 def test_msvd_dataset_and_registry(tmp_path, tok):
     root = tmp_path / "msvd"
     (root / "videos").mkdir(parents=True)
