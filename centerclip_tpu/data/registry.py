@@ -25,11 +25,17 @@ def _common_kwargs(cfg: RunConfig) -> dict:
 
 
 def _train_loader(cfg: RunConfig, dataset):
-    per_process = max(cfg.batch_size // jax.process_count(), 1)
+    # shard by data-axis row ownership, not process count: processes whose
+    # devices all sit on the same data-mesh rows (model/pipe axis wider
+    # than one host) must read the SAME global-batch slice
+    from ..parallel.mesh import data_shard_geometry
+    shard_index, shard_count = data_shard_geometry(
+        cfg.tensor_parallel, cfg.model.pipeline_parallel)
+    per_process = max(cfg.batch_size // shard_count, 1)
     loader = BatchLoader(dataset, per_process, shuffle=True, drop_last=True,
                          num_threads=cfg.data.num_thread_reader,
-                         seed=cfg.seed, process_index=jax.process_index(),
-                         process_count=jax.process_count())
+                         seed=cfg.seed, process_index=shard_index,
+                         process_count=shard_count)
     return loader, len(dataset), loader
 
 

@@ -113,6 +113,35 @@ def shard_tokens(x):
     return jax.lax.with_sharding_constraint(x, spec)
 
 
+def data_shard_geometry(tensor_parallel: int = 1,
+                        pipeline_parallel: int = 1):
+    """``(shard_index, shard_count)`` for the host data pipeline.
+
+    With a pure data mesh every process owns a distinct contiguous run of
+    batch rows, so the loader shards by process — the DistributedSampler
+    analogue (reference data_dataloaders.py:26-39).  When the mesh's second
+    axis (model or pipe) is WIDER than one process's device count, the
+    canonical ``reshape(data, second)`` layout makes consecutive processes
+    share the same data-axis rows: the batch is replicated across them, and
+    ``jax.make_array_from_process_local_data`` then expects each of those
+    processes to supply the SAME full row set — sharding the loader by
+    ``process_count`` would silently halve the global batch (found while
+    building the cross-process TP smoke, tests/test_multiprocess.py).
+    """
+    pc, pi = jax.process_count(), jax.process_index()
+    second = max(int(tensor_parallel), 1) * max(int(pipeline_parallel), 1)
+    local = jax.local_device_count()
+    if pc == 1 or second <= local:
+        return pi, pc
+    if second % local:
+        raise ValueError(
+            f"model/pipe extent {second} spans a fractional process "
+            f"(local devices {local}); pick extents so one process's "
+            f"devices divide the second mesh axis")
+    group = second // local  # processes sharing one data-axis row set
+    return pi // group, pc // group
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding for batches."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -120,6 +149,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def fetch_replicated(mesh: Mesh, tree):
+    """COLLECTIVE: gather a cross-process-sharded pytree to host numpy on
+    every process.
+
+    TP/FSDP/PP shard params (and fp32 Adam moments) over mesh axes that can
+    span hosts; the rank-0-only eval/export/checkpoint paths then need
+    fully-addressable copies — ``jax.device_get`` of a non-addressable array
+    raises, and a jit over one silently becomes a multi-host computation
+    that deadlocks when only rank 0 dispatches it (found by the cross-host
+    TP leg of tests/test_multiprocess.py).  Every process must call this
+    (the resharding is an all-gather over ICI/DCN); afterwards the result
+    is plain host data, safe for single-rank use.
+    """
+    rep = jax.jit(lambda t: t, out_shardings=replicated(mesh))(tree)
+    return jax.device_get(rep)
 
 
 def shard_batch(mesh: Mesh, batch):

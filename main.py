@@ -159,6 +159,13 @@ def main(argv=None):
         logger.info("resumed from %s at epoch %d (best R@1 %.2f)",
                     cfg.resume, start_epoch, best_r1)
 
+    # TP/FSDP/PP shard weights across processes; the rank-0-only
+    # eval/export/checkpoint block below then needs host copies gathered by
+    # a COLLECTIVE all ranks run (see parallel.mesh.fetch_replicated)
+    cross_sharded = jax.process_count() > 1 and (
+        cfg.tensor_parallel > 1 or cfg.fsdp
+        or cfg.model.pipeline_parallel > 1)
+
     rng = jax.random.PRNGKey(cfg.seed)
     for epoch in range(start_epoch, cfg.epochs):
         sampler.set_epoch(epoch)
@@ -168,12 +175,20 @@ def main(argv=None):
             n_display=cfg.n_display)
         logger.info("Epoch %d/%d done in %.1fs, mean loss %.4f", epoch + 1,
                     cfg.epochs, time.time() - t0, loss)
+        state_for_io = trainer.state
+        if cross_sharded:
+            from centerclip_tpu.parallel.mesh import fetch_replicated
+            host = fetch_replicated(
+                trainer.mesh, {"params": trainer.state.params,
+                               "opt": trainer.state.opt_state})
+            state_for_io = trainer.state.replace(
+                params=host["params"], opt_state=host["opt"])
         r1 = 0.0
         # the reference evaluates every epoch on the master rank,
         # unconditionally (main.py:250-262; --do_eval is its eval-only-and-
         # exit flag, main.py:232-239)
         if jax.process_index() == 0:
-            evaluator.update_params(trainer.state.params)
+            evaluator.update_params(state_for_io.params)
             res = evaluator.evaluate(
                 test_loader, multi_sentence=multi_sentence,
                 cut_off_points=cut_offs)
@@ -182,10 +197,10 @@ def main(argv=None):
         if is_best:
             best_r1, best_epoch = r1, epoch
         if jax.process_index() == 0:
-            state_mod.save_checkpoint(cfg.output_dir, trainer.state, epoch,
+            state_mod.save_checkpoint(cfg.output_dir, state_for_io, epoch,
                                       best_r1, is_best=is_best)
             state_mod.export_torch_checkpoint(
-                trainer.state.params, cfg.model,
+                state_for_io.params, cfg.model,
                 os.path.join(cfg.output_dir, "ckpt.pth.tar"), epoch=epoch,
                 global_step=gstep, best_r1=best_r1)
         # hold non-zero ranks here while rank 0 evaluates/saves: running

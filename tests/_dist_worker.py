@@ -1,34 +1,40 @@
 # coding=utf-8
 """Worker for the 2-process jax.distributed smoke (not collected by pytest).
 
-Usage: python tests/_dist_worker.py <process_id> <port> <data_root> <out_dir>
+Usage: python tests/_dist_worker.py <process_id> <port> <data_root> <out_dir> \
+           [devices_per_proc] [extra argv...]
 
-Forces the CPU platform with 4 virtual devices, joins a 2-process Gloo
-cluster (8 global devices), then drives `main.main()` end-to-end on the
+Forces the CPU platform with `devices_per_proc` virtual devices (default 4),
+joins a 2-process Gloo cluster, then drives `main.main()` end-to-end on the
 synthetic MSR-VTT fixture — exercising the `process_count > 1` branches:
 per-process loader shards with wrap-around padding (data/loader.py),
 `make_array_from_process_local_data` batch assembly (parallel/mesh.py),
-rank-0-only eval/checkpointing/logging (main.py).
+rank-0-only eval/checkpointing/logging (main.py).  Extra argv (e.g.
+``--tensor_parallel 2``) appends to the flag list so test_multiprocess.py
+can run cross-process TP/SP/FSDP and GPipe-PP legs over the same contract.
 """
 import os
 import sys
 
-# conftest-inherited XLA_FLAGS may pin 8 host devices; this worker wants 4
-# per process (2 processes x 4 = the usual 8-device test mesh)
+pid, port, root, out = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
+                        sys.argv[4])
+ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+extra_argv = sys.argv[6:]
+
+# conftest-inherited XLA_FLAGS may pin 8 host devices; this worker wants
+# ndev per process (2 processes x 4 = the usual 8-device test mesh, or
+# 2 x 1 so the model/pipe axis itself spans the process boundary)
 flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
          if "xla_force_host_platform_device_count" not in f]
-flags.append("--xla_force_host_platform_device_count=4")
+flags.append(f"--xla_force_host_platform_device_count={ndev}")
 os.environ["XLA_FLAGS"] = " ".join(flags)
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-pid, port, root, out = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
-                        sys.argv[4])
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
-assert jax.process_count() == 2 and jax.device_count() == 8
+assert jax.process_count() == 2 and jax.device_count() == 2 * ndev
 
 # Establish the Gloo communicator NOW, while both processes are aligned:
 # the first cross-process collective has a hard 30s key-exchange deadline,
@@ -61,7 +67,7 @@ argv = [
     "--cluster_inter", "1", "--cluster_algo", "kmediods++",
     "--cluster_num_blocks", "3", "3", "--target_frames_blocks", "4", "2",
     "--precision", "fp32", "--num_thread_reader", "2", "--n_display", "1",
-]
+] + extra_argv
 
 import centerclip_tpu.cli as cli  # noqa: E402
 import main as main_mod  # noqa: E402

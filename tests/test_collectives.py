@@ -55,3 +55,39 @@ def test_plain_all_gather_and_psum(rng):
     for d in range(n):
         np.testing.assert_allclose(g[d], x, rtol=1e-6)
         np.testing.assert_allclose(s[d], x.sum(), rtol=1e-5)
+
+
+def test_data_shard_geometry(monkeypatch):
+    """Host-loader sharding follows data-axis row ownership, not process
+    count: processes whose devices all sit on the same data rows (model or
+    pipe axis wider than one host) must read the same global-batch slice."""
+    from centerclip_tpu.parallel import mesh as mesh_mod
+
+    def fake(pc, pi, local):
+        monkeypatch.setattr(jax, "process_count", lambda: pc)
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        monkeypatch.setattr(jax, "local_device_count", lambda: local)
+
+    # pure DP: classic DistributedSampler split
+    fake(2, 1, 4)
+    assert mesh_mod.data_shard_geometry() == (1, 2)
+    # 2 proc x 4 dev, tp=2: data rows disjoint per process -> still split
+    assert mesh_mod.data_shard_geometry(tensor_parallel=2) == (1, 2)
+    # 2 proc x 1 dev, tp=2: both processes sit on data row 0 -> same shard
+    fake(2, 1, 1)
+    assert mesh_mod.data_shard_geometry(tensor_parallel=2) == (0, 1)
+    fake(2, 0, 1)
+    assert mesh_mod.data_shard_geometry(tensor_parallel=2) == (0, 1)
+    # 4 proc x 2 dev, pipe=4: pairs of processes share a row set
+    fake(4, 3, 2)
+    assert mesh_mod.data_shard_geometry(pipeline_parallel=4) == (1, 2)
+    fake(4, 1, 2)
+    assert mesh_mod.data_shard_geometry(pipeline_parallel=4) == (0, 2)
+    # fractional-process spans are rejected
+    fake(3, 0, 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mesh_mod.data_shard_geometry(tensor_parallel=3)
+    # single process: always the trivial shard
+    fake(1, 0, 8)
+    assert mesh_mod.data_shard_geometry(tensor_parallel=8) == (0, 1)
