@@ -67,6 +67,7 @@ def test_fused_bf16_tolerance():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_towers_pick_fused_only_when_deterministic_on_tpu():
     """On the CPU backend the flag must be inert (kernel has no VJP and
     Mosaic doesn't compile on CPU) — the full model must train and evaluate

@@ -1,6 +1,7 @@
 # coding=utf-8
 """Layer-freezing semantics (reference: clip4clip.py:449-471)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +23,7 @@ def _params(rng):
     return run, model, params, batch
 
 
+@pytest.mark.slow
 def test_trainable_mask_rules(rng):
     _, _, params, _ = _params(rng)
     mask = trainable_mask(params, freeze_layer_num=1)
@@ -47,6 +49,7 @@ def test_trainable_mask_rules(rng):
     assert not any(jax.tree.leaves(m3["clip"]))
 
 
+@pytest.mark.slow
 def test_frozen_params_do_not_move(rng):
     run, model, params, batch = _params(rng)
     import dataclasses

@@ -63,6 +63,7 @@ def _argv(root, out, extra=()):
     ] + list(extra)
 
 
+@pytest.mark.slow
 def test_main_train_then_eval(msrvtt_root, tmp_path):
     import main as main_mod
     out = tmp_path / "out"

@@ -102,6 +102,7 @@ def _train_two_steps(run, params, batches):
     return loss, jax.device_get(trainer.state.params)
 
 
+@pytest.mark.slow
 def test_pp_matches_dp():
     """Two steps on dp=8 vs dp=4 x pipe=2 (clustering off — see
     test_tensor_parallel.test_tp_matches_dp for why): same loss, same
@@ -130,6 +131,7 @@ def test_pp_matches_dp():
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_pp_cluster_smoke():
     """The clustered path (token-count change mid-stack) trains on the
     pipe mesh: the two homogeneous runs pipeline independently with the

@@ -11,6 +11,7 @@ from centerclip_tpu.models.clip import CLIP
 from centerclip_tpu.models.resnet import ModifiedResNet
 
 
+@pytest.mark.slow
 def test_rn50_tower_shapes_and_param_count():
     m = ModifiedResNet(layers=(3, 4, 6, 3), output_dim=1024, heads=32,
                        input_resolution=224, width=64)
@@ -23,6 +24,7 @@ def test_rn50_tower_shapes_and_param_count():
     assert abs(n / 1e6 - 38.3) < 0.5, n / 1e6
 
 
+@pytest.mark.slow
 def test_rn_clip_integration():
     cfg = make_run_config(clip_name="RN50", max_frames=2,
                           compute_dtype="float32").model

@@ -25,6 +25,7 @@ def _init(run, rng, n=8):
     return model, params, batch
 
 
+@pytest.mark.slow
 def test_seq_transf_trains(rng):
     run = tiny_cfg(sim_header="seqTransf")
     model, params, batch = _init(run, rng)
@@ -37,6 +38,7 @@ def test_seq_transf_trains(rng):
     assert np.isfinite(loss) and gstep == 2
 
 
+@pytest.mark.slow
 def test_tight_transf_trains(rng):
     run = tiny_cfg(sim_header="tightTransf", loose_type=False)
     model, params, batch = _init(run, rng, n=4)
@@ -47,6 +49,7 @@ def test_tight_transf_trains(rng):
     assert np.isfinite(loss) and gstep == 1
 
 
+@pytest.mark.slow
 def test_tight_transf_chunked_matches_unchunked(rng):
     """cross_chunk_size bounds the [chunk*bv, L, D] cross block on big
     galleries (reference step_size split, clip4clip.py:377-391); chunked

@@ -98,6 +98,7 @@ def _train_two_steps(run, params, batches):
     return loss, jax.device_get(trainer.state.params)
 
 
+@pytest.mark.slow
 def test_tp_matches_dp(rng):
     """One epoch (2 steps) on dp=8 and on dp=4 x tp=2: same loss, same
     updated params.
@@ -135,6 +136,7 @@ def test_tp_matches_dp(rng):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_fsdp_matches_dp(rng):
     """ZeRO-sharded params + moments (dp=8, fsdp) reproduce the replicated
     run exactly (clustering off — see test_tp_matches_dp)."""
@@ -161,6 +163,7 @@ def test_fsdp_matches_dp(rng):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_tp_cluster_smoke(rng):
     """The flagship cluster path (kmediods++ inter) trains on the 2-D mesh
     with ZeRO sharding on top: finite loss, params updated."""

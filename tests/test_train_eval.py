@@ -79,6 +79,7 @@ def test_training_reduces_loss(optim, rng):
     assert gstep == 12
 
 
+@pytest.mark.slow
 def test_grad_accumulation(rng):
     run = tiny_cfg(gradient_accumulation_steps=2)
     model = CLIP4Clip(run.model)
@@ -270,6 +271,7 @@ def test_grad_accum_tail_flush(rng):
     assert (5 + 2 - 1) // 2 == 3
 
 
+@pytest.mark.slow
 def test_remat_training(rng):
     """Gradient checkpointing path trains and matches shapes."""
     run = tiny_cfg(remat=True)
@@ -287,6 +289,7 @@ def test_remat_training(rng):
     assert np.isfinite(loss) and gstep == 1
 
 
+@pytest.mark.slow
 def test_deep_cluster_training(rng):
     """DeepCluster head (mutually exclusive with cluster_inter): WCSS loss
     flows, tokens reduce, training steps run."""
