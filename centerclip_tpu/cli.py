@@ -119,7 +119,9 @@ def get_parser(description="CenterCLIP-TPU on Retrieval Task"
                         "activations flow over ICI (training only; "
                         "mutually exclusive with --tensor_parallel)")
     p.add_argument("--pipeline_microbatches", type=int, default=0,
-                   help="GPipe microbatch count; 0 = one per stage")
+                   help="GPipe microbatch count; 0 = auto (largest M <= "
+                        "4*stages dividing the per-shard rows — measured "
+                        "best, see benchmarks/parallelism_bench.py)")
     # cluster algorithms
     p.add_argument("--cluster_algo", type=str, default="kmediods++",
                    choices=["kmediods++", "pooling", "sparse_sampling",
