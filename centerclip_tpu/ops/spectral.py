@@ -182,6 +182,15 @@ def spatial_temporal_graph(N: int, tokens_per_frame: int, s_kernel: int = 5,
     Token i connects to token j iff they are within t_kernel//2 frames and
     s_kernel//2 grid cells (per axis) of each other.  Built once on host
     (static per config) and fed to the affinity as a constant.
+
+    Remainder tokens whose frame index falls outside ``N // tokens_per_frame``
+    (e.g. a CLS slot making N = T*tokens_per_frame + 1) receive NO incoming
+    connections, not even from themselves, while their outgoing row is still
+    populated — the reference bounds-checks only the *target* coordinates
+    (``0 <= t < frames``, spectral.py:156), leaving the graph asymmetric for
+    such N.  Pinned exactly by tests/test_reference_oracle_ops.py; production
+    wiring always passes an exact multiple (cluster.py:177), where the bound
+    never fires and the graph is symmetric.
     """
     H = W = int(tokens_per_frame ** 0.5)
     frames = N // tokens_per_frame
@@ -190,8 +199,9 @@ def spatial_temporal_graph(N: int, tokens_per_frame: int, s_kernel: int = 5,
     t = idx // tokens_per_frame
     h = (idx % tokens_per_frame) // W
     w = (idx % tokens_per_frame) % W
-    dt = np.abs(t[:, None] - t[None, :]) <= half_t
+    valid = t < frames
+    dt = (np.abs(t[:, None] - t[None, :]) <= half_t) & valid[None, :]
     dh = np.abs(h[:, None] - h[None, :]) <= half_s
     dw = np.abs(w[:, None] - w[None, :]) <= half_s
-    del frames, H
+    del H
     return (dt & dh & dw)
