@@ -29,7 +29,11 @@ def _pp_active(module) -> bool:
     init must construct every block so the canonical per-block param
     schema exists), and traced inside a mesh whose `pipe` extent matches.
     Eval and single-chip paths trace outside such a mesh and keep the
-    sequential loop."""
+    sequential loop — deliberate, not an omission: PP exists for training
+    memory capacity (stage-resident weights + optimizer state); at eval the
+    weights fit replicated and the measured GPipe overhead (1.45-2.34x a
+    pure-DP step, benchmarks/parallelism_bench.py) would only slow the
+    encoders down."""
     cfg = module.cfg
     if cfg.pipeline_parallel <= 1 or module.is_initializing():
         return False
