@@ -2,11 +2,13 @@
 """Benchmark harness — prints cumulative JSON lines, last line = record.
 
 The driver parses the LAST stdout line.  `main()` runs under a hard
-wall-clock budget (env ``BENCH_BUDGET_S``, default 900 s), prints a
+wall-clock budget (env ``BENCH_BUDGET_S``, default 2400 s), prints a
 headline-only line immediately after the encode measurement, then re-emits
 a cumulative superset line after every completed secondary — so a driver
 timeout at any point still leaves a complete, parseable record of
 everything measured so far (fix for BENCH_r03's ``rc=124, parsed: null``).
+Secondaries run cheapest-first with per-section caps and a retry pass, so
+one stalled child cannot starve the record (see `main`).
 
 Headline metric: **video-encode clips/sec/chip** on the BASELINE.json
 north-star config — ViT-B/32, 12 frames, kmediods++ 12->6 token clustering,
@@ -419,16 +421,25 @@ def _run_child_json(args, timeout=900):
 def main():
     """Driver-survivable orchestration (VERDICT r3 next #1).
 
-    Hard wall-clock budget (``BENCH_BUDGET_S``, default 900 s): the headline
+    Hard wall-clock budget (``BENCH_BUDGET_S``, default 2400 s): the headline
     encode measurement runs first and its JSON line is printed AND FLUSHED
     immediately, then every completed secondary re-emits a cumulative
     superset line.  The driver parses the LAST stdout line, so even if the
-    process is killed mid-way the record is the most complete line emitted
-    so far — a timeout can never again leave ``parsed: null`` (BENCH_r03).
-    Child timeouts are clamped to the remaining budget; once a
-    measurement's minimum useful window is gone it is skipped and listed in
-    ``skipped``.  No retry sleeps unless the budget is still rich."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    process is killed mid-way (its own ``timeout`` can be shorter than this
+    budget) the record is the most complete line emitted so far — a timeout
+    can never again leave ``parsed: null`` (BENCH_r03).
+
+    Section scheduling is variance-proof: per-section wall-clock over the
+    tunnelled TPU swings ~3x run-to-run (a warm-cache train-step child was
+    measured anywhere from 257 s to 860 s with only ~30 s of local CPU —
+    the rest is executable upload + server-side queueing), so (a) cheap
+    sections (kmedoids, B/16, ANet) run before the volatile ones (train,
+    serve, parity), (b) every child gets a hard per-section CAP so one
+    stalled measurement cannot starve the rest of the plan, and (c) a
+    second pass retries anything that failed or was capped with whatever
+    budget is left.  Sections still unmeasured at the end are listed in
+    ``skipped``."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     t_start = time.monotonic()
 
     def remaining():
@@ -494,10 +505,11 @@ def main():
         }
         print(json.dumps(out), flush=True)
 
-    # ---- headline: encode throughput (compiles in ~10 s warm-cache,
-    # ~5-8 min cold over the tunnel — give it the bulk of the budget)
+    # ---- headline: encode throughput (~200-450 s warm-cache, ~5-8 min
+    # cold over the tunnel; capped so a stalled attempt can't eat the
+    # whole budget before the first parseable line exists)
     for b in (ENCODE_BATCH, ENCODE_BATCH, 16):
-        to = remaining() - 30
+        to = min(remaining() - 30, 900)
         if to < 60:
             break
         clips = _run_child(["--encode", str(b)], timeout=to)
@@ -508,26 +520,44 @@ def main():
             time.sleep(45)
     emit()  # first parseable line — the floor the driver can always read
 
-    # ---- secondaries, priority order; (key, argv, min useful window s)
+    # ---- secondaries, cheap-and-stable first, volatile last;
+    # (key, argv, min useful window s, per-section cap s, runner)
     plan = (
-        ("kmedoids", ["--kmedoids"], 45, _run_child),
-        ("train8", ["--train8"], 90, _run_child),
-        ("serve", ["--serve"], 90, _run_child_json),
-        ("b16", ["--b16"], 60, _run_child),
-        ("anet", ["--anet"], 60, _run_child),
-        ("parity", ["--attnparity"], 90, _run_child_json),
+        ("kmedoids", ["--kmedoids"], 45, 300, _run_child),
+        ("b16", ["--b16"], 60, 480, _run_child),
+        ("anet", ["--anet"], 60, 480, _run_child),
+        ("train8", ["--train8"], 90, 900, _run_child),
+        ("serve", ["--serve"], 90, 600, _run_child_json),
+        ("parity", ["--attnparity"], 90, 600, _run_child_json),
     )
-    for key, args, floor, runner in plan:
+    had_failure = False
+    for key, args, floor, cap, runner in plan:
+        to = min(remaining() - 15, cap)
+        if to < floor:
+            continue  # pass 2 may still get to it
+        val = runner(args, timeout=to)
+        if val is None:
+            had_failure = True
+        else:
+            st[key] = val
+            emit()
+    # ---- pass 2: retry anything capped/failed/deferred with the leftover
+    for key, args, floor, cap, runner in plan:
+        if st[key] is not None:
+            continue
         to = remaining() - 15
         if to < floor:
             st["skipped"].append(key)
             continue
+        if had_failure:
+            time.sleep(15)  # give a crashed tunnel worker time to recover
+            had_failure = False
         val = runner(args, timeout=to)
-        if val is None and remaining() - 15 > floor + 60:
-            time.sleep(20)  # brief worker-recovery pause, then one retry
-            val = runner(args, timeout=remaining() - 15)
-        st[key] = val
-        emit()
+        if val is not None:
+            st[key] = val
+            emit()
+        else:
+            st["skipped"].append(key)
     if st["skipped"]:
         emit()
 
