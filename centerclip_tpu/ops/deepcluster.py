@@ -107,16 +107,18 @@ class DeepCluster(nn.Module):
 
         # token MLP over the *token* axis (deepcluster.py:83-93,128):
         # operates on [.., D, L_in] and maps L_in -> 4*L_in -> dur*K -> K
+        # eps=1e-5 matches torch nn.LayerNorm (deepcluster.py:86-92); flax
+        # defaults to 1e-6, which the reference oracle flags at tolerance
         h = jnp.swapaxes(d_data, -1, -2)                   # [S*B, D, L_in]
         h = nn.Dense(4 * L_in, name="fc1",
                      kernel_init=nn.initializers.normal(0.01))(h)
-        h = nn.LayerNorm(name="ln1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(h)
         h = nn.Dense(dur * K, name="fc2",
                      kernel_init=nn.initializers.normal(0.01))(h)
-        h = nn.LayerNorm(name="ln2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(h)
         h = nn.Dense(K, name="fc3",
                      kernel_init=nn.initializers.normal(0.01))(h)
-        h = nn.LayerNorm(name="ln3")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln3")(h)
         centroids = jnp.swapaxes(h, -1, -2)                # [S*B, K, D]
 
         if train:

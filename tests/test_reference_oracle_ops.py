@@ -21,6 +21,12 @@ Pins:
   genuine fp near-tie across frameworks — pinned to membership, not id.
 * token_sparse_sampling — exact on the deterministic branch, support/shape
   checks on the randomised branch (reference: cluster_utils.py:136-174).
+* DeepCluster — WCSS loss + medoid extraction exact-ish (fp32), and the
+  full forward (token-MLP centroids -> medoid gather -> segment
+  re-interleave -> CLS concat) vs the reference torch module with copied
+  weights (reference: deepcluster.py:51-246).
+* loop k-medoids (the reference's own oracle, kmeans.py:52-114) — exact on
+  separated blobs; see the aliasing note at the test.
 """
 import importlib
 import sys
@@ -65,6 +71,7 @@ if "refcc" not in sys.modules:
 ref_shift = importlib.import_module("refcc.modules.cluster.shift")
 ref_spectral = importlib.import_module("refcc.modules.cluster.spectral")
 ref_cutils = importlib.import_module("refcc.modules.cluster.cluster_utils")
+ref_deep = importlib.import_module("refcc.modules.cluster.deepcluster")
 
 for _name in _stubbed:
     sys.modules.pop(_name, None)
@@ -190,3 +197,106 @@ def test_sparse_sampling_random_branch_support(rng):
         avg = 12 // 3
         assert out.shape == (3,)
         assert all(i * avg <= o < (i + 1) * avg for i, o in enumerate(out))
+
+
+# -------------------------------------------------------------- deepcluster
+def test_deepcluster_wcss_matches_reference(rng):
+    from centerclip_tpu.ops.deepcluster import batch_within_cluster_sse
+    x = rng.standard_normal((3, 14, 8)).astype(np.float32)
+    c = rng.standard_normal((3, 4, 8)).astype(np.float32)
+    loss_j, assign_j = batch_within_cluster_sse(jnp.asarray(x), jnp.asarray(c))
+    loss_t, assign_t = ref_deep.batch_within_cluster_SSE(
+        torch.from_numpy(x), torch.from_numpy(c))
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(assign_j), assign_t.numpy())
+
+
+def test_deepcluster_get_medoids_matches_reference(rng):
+    # L > K leaves some clusters empty in expectation -> also covers the
+    # reference's all-zero mask row behaviour (min over zeros -> index 0)
+    from centerclip_tpu.ops.deepcluster import get_medoids as our_medoids
+    x = rng.standard_normal((4, 12, 8)).astype(np.float32)
+    c = rng.standard_normal((4, 5, 8)).astype(np.float32)
+    ours = np.asarray(our_medoids(jnp.asarray(x), jnp.asarray(c)))
+    theirs = ref_deep.get_medoids(
+        torch.from_numpy(x), torch.from_numpy(c)).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def _deepcluster_pair(rng):
+    """Our flax DeepCluster + the reference torch module with the SAME
+    weights (flax Dense kernel [in,out] -> torch Linear weight [out,in],
+    flax LayerNorm scale/bias -> torch weight/bias)."""
+    import jax
+    from centerclip_tpu.config import BlockClusterSpec, ClusterConfig
+    from centerclip_tpu.ops.deepcluster import DeepCluster as OurDeepCluster
+
+    D, P, T, S, K, B = 16, 8, 4, 2, 3, 2
+    spec = BlockClusterSpec(block_id=2, algo="deepcluster",
+                            before_cluster_num=P, cluster_num=K,
+                            before_frames=T, after_frames=S,
+                            frame_duration=T // S)
+    ours = OurDeepCluster(spec=spec, cfg=ClusterConfig(deep_cluster=True),
+                          width=D)
+    x = rng.standard_normal((B * T, 1 + P, D)).astype(np.float32)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       train=True)["params"]
+
+    theirs = ref_deep.DeepCluster(
+        feature_dim=D, intermediate_dim=D, before_cluster_num=P,
+        cluster_num=K, before_block_frames=T, after_block_frames=S,
+        block_id=2, alpha=1.0, loss_type="wcss")
+    mlp = theirs.token_mlp
+    with torch.no_grad():
+        for fc, ln in (("fc1", "ln1"), ("fc2", "ln2"), ("fc3", "ln3")):
+            getattr(mlp, fc).weight.copy_(torch.from_numpy(
+                np.array(params[fc]["kernel"]).T.copy()))
+            getattr(mlp, fc).bias.copy_(torch.from_numpy(
+                np.array(params[fc]["bias"])))
+            getattr(mlp, ln).weight.copy_(torch.from_numpy(
+                np.array(params[ln]["scale"])))
+            getattr(mlp, ln).bias.copy_(torch.from_numpy(
+                np.array(params[ln]["bias"])))
+    return ours, params, theirs, x
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_deepcluster_forward_matches_reference(rng, train):
+    ours, params, theirs, x = _deepcluster_pair(rng)
+    out_j, loss_j = ours.apply({"params": params}, jnp.asarray(x),
+                               train=train)
+    theirs.train(train)
+    with torch.no_grad():
+        # reference forward takes/returns LND (deepcluster.py:99-151)
+        out_t, loss_t = theirs(torch.from_numpy(x).permute(1, 0, 2))
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.permute(1, 0, 2).numpy(), atol=2e-5)
+    if train:
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+    else:
+        assert float(loss_j) == float(loss_t) == 0.0
+
+
+# ----------------------------------------------------------- loop k-medoids
+# The reference ships a SECOND k-medoids (the per-sample loop implementation
+# its own test.py uses as the correctness oracle for fast_kmeans).  Worth
+# knowing before pinning: `kmeans.py:78` does `pre_mediods = mediods`, an
+# ALIAS of the tensor mutated in place at `kmeans.py:98` — center_shift is
+# identically 0 and the loop always stops after ONE Lloyd iteration.  On
+# well-separated blobs a single Lloyd step from KKZ init is already the
+# fixed point, so both implementations (and ours, which iterates to real
+# convergence) must agree there; that is what this pin uses.
+ref_kmeans = importlib.import_module("refcc.modules.cluster.kmeans")
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "cosine"])
+def test_loop_kmedoids_matches_reference(rng, distance):
+    from centerclip_tpu.ops.kmedoids import batch_fast_kmedoids
+    B, N, K, D = 3, 16, 4, 8
+    x = _blobs(rng, B, N, K, D, spread=0.03)
+    a_ours, m_ours = batch_fast_kmedoids(
+        jnp.asarray(x), K, distance=distance)
+    a_ref, m_ref = ref_kmeans.batch_kmedoids(
+        torch.from_numpy(x), K, distance=distance)
+    np.testing.assert_array_equal(np.asarray(a_ours), a_ref.numpy())
+    np.testing.assert_array_equal(np.asarray(m_ours), m_ref.numpy())
