@@ -193,7 +193,9 @@ def main(argv=None):
                 test_loader, multi_sentence=multi_sentence,
                 cut_off_points=cut_offs)
             r1 = res["R1"]
-        is_best = r1 > best_r1
+        # ties update best (reference main.py:257 `best_R1 <= R1`): the
+        # first eval always writes ckpt_best, later epochs win ties
+        is_best = r1 >= best_r1
         if is_best:
             best_r1, best_epoch = r1, epoch
         if jax.process_index() == 0:

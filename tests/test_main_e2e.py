@@ -77,6 +77,9 @@ def test_main_train_then_eval(msrvtt_root, tmp_path):
     assert os.path.exists(out / "hparams_train.json")
     assert os.path.exists(out / "ckpt.pth.tar")
     assert os.path.exists(out / "ckpt_0")
+    # ties update best (reference main.py:257 `best_R1 <= R1`): even a
+    # tiny-model run whose R1 equals the 0.0 initial must write ckpt_best
+    assert os.path.exists(out / "ckpt_best")
     assert os.path.exists(out / "log.txt")
     assert os.path.exists(out / "tensorboard" / "scalars.jsonl")
 
