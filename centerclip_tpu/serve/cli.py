@@ -15,6 +15,11 @@ turns the same model + dataset plumbing into a serving artifact:
       --output_dir /tmp/serve --init_model ckpt.pth.tar \\
       --index_path gallery.npz --query "a man cooking" --topk 5
 
+  # daemon: JSON-over-HTTP service (see serve/http.py for the API)
+  python -m centerclip_tpu.serve.cli serve \\
+      --output_dir /tmp/serve --init_model ckpt.pth.tar \\
+      --index_path gallery.npz --port 8080
+
 All standard flags (model variant, cluster config, dataset paths — see
 centerclip_tpu.cli) are accepted; serve-specific flags are below.  Model
 weights load exactly like training (main.py:79-108): --init_model >
@@ -38,9 +43,17 @@ def _serve_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="centerclip_tpu.serve.cli", add_help=False,
         description="build / query a video retrieval index")
-    p.add_argument("command", choices=["build", "query"])
+    p.add_argument("command", choices=["build", "query", "serve"])
     p.add_argument("--index_path", type=str, required=True,
                    help="gallery .npz (written by build, read by query)")
+    p.add_argument("--index_type", type=str, default="flat",
+                   choices=["flat", "ivf"],
+                   help="flat = exact, mesh-shardable; ivf = cluster-pruned "
+                        "low-latency (serve/ivf.py; build)")
+    p.add_argument("--n_clusters", type=int, default=0,
+                   help="IVF cells; 0 = ~sqrt(N) (build --index_type ivf)")
+    p.add_argument("--nprobe", type=int, default=8,
+                   help="IVF cells probed per query (build --index_type ivf)")
     p.add_argument("--quantize", type=str, default="float32",
                    choices=("float32", "bfloat16", "int8"),
                    help="gallery storage dtype (build)")
@@ -49,6 +62,10 @@ def _serve_parser() -> argparse.ArgumentParser:
     p.add_argument("--queries_file", type=str, default="",
                    help="file with one query per line (query)")
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address (serve)")
+    p.add_argument("--port", type=int, default=8080,
+                   help="bind port; 0 = pick a free port (serve)")
     return p
 
 
@@ -175,7 +192,7 @@ def main(argv: Optional[Sequence[str]] = None):
     from ..models.tokenizer import SimpleTokenizer
     from ..parallel.mesh import create_mesh
     from .engine import RetrievalEngine
-    from .index import VideoIndex
+    from .index import load_index
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO)
@@ -196,17 +213,36 @@ def main(argv: Optional[Sequence[str]] = None):
         cuts = list(getattr(ds, "cut_off_points", []))
         ids = gallery_video_ids(ds, multi, cuts)
         logger.info("building gallery: %d rows -> %d videos", n, len(ids))
+        ivf_kw = {}
+        if serve_args.index_type == "ivf":
+            ivf_kw["nprobe"] = serve_args.nprobe
+            if serve_args.n_clusters:
+                ivf_kw["n_clusters"] = serve_args.n_clusters
         index = engine.build_index(
             gallery_batches(loader, multi, cuts, cfg.batch_size_val),
-            ids, quantize=serve_args.quantize)
+            ids, quantize=serve_args.quantize,
+            index_type=serve_args.index_type, **ivf_kw)
         index.save(serve_args.index_path)
         print(json.dumps({"index_path": serve_args.index_path,
                           "videos": len(index), "dim": index.dim,
+                          "index_type": serve_args.index_type,
                           "quantize": serve_args.quantize}))
         return index
 
-    # ---- query
-    engine.index = VideoIndex.load(serve_args.index_path, mesh=mesh)
+    # ---- query / serve
+    engine.index = load_index(serve_args.index_path, mesh=mesh)
+
+    if serve_args.command == "serve":
+        from .http import RetrievalServer
+        server = RetrievalServer(engine, host=serve_args.host,
+                                 port=serve_args.port,
+                                 default_k=serve_args.topk)
+        server.warmup()
+        print(json.dumps({"listening": "http://%s:%d" % server.address,
+                          "videos": len(engine.index)}), flush=True)
+        server.serve_forever()
+        return server
+
     queries = list(serve_args.query)
     if serve_args.queries_file:
         with open(serve_args.queries_file) as fp:

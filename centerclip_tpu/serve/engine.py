@@ -66,6 +66,7 @@ class RetrievalEngine:
             self._embed_text_impl, model))
         self._embed_video = jax.jit(functools.partial(
             self._embed_video_impl, model))
+        self._fused_cache: Dict[Tuple[int, int], object] = {}
 
     # --------------------------------------------------------------- kernels
     @staticmethod
@@ -75,6 +76,44 @@ class RetrievalEngine:
             return seq / (jnp.linalg.norm(seq, axis=-1,
                                           keepdims=True) + 1e-12)
         return model.apply(variables, input_ids, method=fn)
+
+    @staticmethod
+    def _fused_search_impl(model, score_core, variables, input_ids,
+                           *operands):
+        """Text tower -> normalise -> index scoring core -> top-k, ONE
+        program.
+
+        The two-dispatch path (`_embed_text` + `index.search`) costs a
+        device round-trip per stage — which dominates online latency when
+        the host link is slow (the TPU tunnel here: measured 59 ms/query at
+        B=1 of which the second dispatch+fetch is roughly half).  Fusing
+        query embedding and top-k into one jitted program halves the
+        round-trips and also lets XLA keep the [Q, D] query block on-device
+        between the tower and the score matmul.  Math is identical to the
+        two-step path: `score_core` IS the index's own scoring kernel
+        (`VideoIndex.score_core` / `IVFVideoIndex.score_core`), inlined."""
+        def fn(m, ids):
+            seq = m.get_sequence_output(ids)[:, 0, :]      # [Q, D] fp32
+            return seq / (jnp.linalg.norm(seq, axis=-1,
+                                          keepdims=True) + 1e-12)
+        q = model.apply(variables, input_ids, method=fn)
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        return score_core(q, *operands)
+
+    def _fused_search_fn(self, k: int):
+        """Cached jitted (tokenised query batch -> top-k) executable +
+        its index operands; keyed by (k, index identity, gallery n_valid) —
+        `add` changes the index's pad mask/grouping, re-attaching a
+        different index (or index TYPE) must not reuse the old core, and
+        jit's shape cache handles query-bucket / gallery-shape changes."""
+        key = (k, id(self.index), self.index.n_valid)
+        hit = self._fused_cache.get(key)
+        if hit is None:
+            core, operands = self.index.score_core(k)
+            hit = (jax.jit(functools.partial(
+                self._fused_search_impl, self.model, core)), operands)
+            self._fused_cache[key] = hit
+        return hit
 
     @staticmethod
     def _embed_video_impl(model, variables, video, video_mask):
@@ -127,17 +166,14 @@ class RetrievalEngine:
         last = None
         for b in buckets:
             ids = np.ones((b, self.max_words), np.int32)
-            emb = self._embed_text(self.variables,
-                                   self._device_put(self._pad_rows(
-                                       ids, self._bucket(b))))
             if self.index is not None:
-                # slice back to b rows (as encode_token_ids does) so the
-                # warmed (query-bucket, k) executables match the shapes a
-                # live `search()` will actually dispatch — with a mesh the
-                # padded shape is mesh-rounded, which VideoIndex.search
-                # would never see
-                last = self.index.search(
-                    np.asarray(jax.device_get(emb))[:b], k=k)
+                # warm exactly what a live `search()` dispatches: the fused
+                # (query-bucket, k) program
+                last = self.search_token_ids(ids, k=k)
+            else:
+                last = jax.device_get(self._embed_text(
+                    self.variables,
+                    self._device_put(self._pad_rows(ids, self._bucket(b)))))
         if last is not None:
             jax.device_get(last)
         return len(buckets)
@@ -166,12 +202,13 @@ class RetrievalEngine:
     def search(self, texts: Sequence[str], k: int = 5
                ) -> List[List[Dict[str, float]]]:
         """Queries -> per-query ranked [{video_id, score}]; scores are the
-        model's similarity logits (cosine x exp(logit_scale))."""
-        if self.index is None:
-            raise RuntimeError("no index attached — build or load one first")
-        emb = self.encode_texts(texts)
-        scores, idx = self.index.search(emb, k=k)
-        scores = scores * self.logit_scale
+        model's similarity logits (cosine x exp(logit_scale)).
+
+        Single device dispatch: tokenise on the host, then one fused
+        (text tower + gallery top-k) program — see `_fused_search_impl`."""
+        ids, _, _ = tokenize_batch(self.tokenizer, list(texts),
+                                   max_words=self.max_words)
+        scores, idx = self.search_token_ids(ids, k=k)
         out = []
         for q in range(len(texts)):
             out.append([
@@ -179,6 +216,23 @@ class RetrievalEngine:
                  "score": float(s)}
                 for s, i in zip(scores[q], idx[q])])
         return out
+
+    def search_token_ids(self, input_ids: np.ndarray, k: int = 5
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokenised queries -> (scores [Q, k] incl. exp(logit_scale),
+        gallery row indices [Q, k]) via the fused single-dispatch path."""
+        if self.index is None:
+            raise RuntimeError("no index attached — build or load one first")
+        if k <= 0:
+            raise ValueError("k must be positive")
+        k = min(k, self.index.n_valid)
+        n = input_ids.shape[0]
+        ids = self._pad_rows(np.asarray(input_ids, np.int32),
+                             self._bucket(n))
+        fn, operands = self._fused_search_fn(k)
+        scores, idx = fn(self.variables, self._device_put(ids), *operands)
+        scores, idx = jax.device_get((scores, idx))
+        return scores[:n] * self.logit_scale, idx[:n]
 
     # ----------------------------------------------------------- index build
     def embed_video_batches(
@@ -213,14 +267,27 @@ class RetrievalEngine:
         return np.concatenate([c[:n] for c, n in zip(chunks, valid)], axis=0)
 
     def build_index(self, batches: Iterable[Dict[str, np.ndarray]],
-                    video_ids: Sequence[str], quantize: str = "float32"
-                    ) -> VideoIndex:
+                    video_ids: Sequence[str], quantize: str = "float32",
+                    index_type: str = "flat", **index_kw) -> VideoIndex:
+        """index_type "flat" (exact, mesh-shardable) or "ivf"
+        (cluster-pruned, single-device — serve/ivf.py); extra kwargs go to
+        the index constructor (n_clusters/nprobe/... for ivf)."""
         emb = self.embed_video_batches(batches)
         if emb.shape[0] != len(video_ids):
             raise ValueError(
                 f"{emb.shape[0]} embeddings vs {len(video_ids)} ids")
-        self.index = VideoIndex(emb, video_ids, quantize=quantize,
-                                mesh=self.mesh)
-        logger.info("gallery index: %d videos, dim=%d, quantize=%s",
-                    len(self.index), self.index.dim, quantize)
+        if index_type == "flat":
+            self.index = VideoIndex(emb, video_ids, quantize=quantize,
+                                    mesh=self.mesh, **index_kw)
+        elif index_type == "ivf":
+            if self.mesh is not None:
+                raise ValueError("IVF index is single-device; drop the mesh "
+                                 "or use index_type='flat'")
+            from .ivf import IVFVideoIndex
+            self.index = IVFVideoIndex(emb, video_ids, quantize=quantize,
+                                       **index_kw)
+        else:
+            raise ValueError(f"unknown index_type {index_type!r}")
+        logger.info("gallery index (%s): %d videos, dim=%d, quantize=%s",
+                    index_type, len(self.index), self.index.dim, quantize)
         return self.index

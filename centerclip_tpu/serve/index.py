@@ -132,15 +132,15 @@ class VideoIndex:
         self._scales = scales
 
     # ---------------------------------------------------------------- search
-    def _search_fn(self, k: int):
-        """One jitted executable per k (query bucket handled by jit's shape
-        cache)."""
-        if k in self._search_cache:
-            return self._search_cache[k]
+    def score_core(self, k: int):
+        """(traceable_fn, device_operands) — the scoring kernel as a pure
+        jax-traceable function so callers (RetrievalEngine's fused
+        tower+search program, `_search_fn` itself) can inline it into a
+        larger jitted program.  `fn(q, *operands)` maps normalised queries
+        [Q, D] to (scores [Q, k], ORIGINAL gallery row indices [Q, k])."""
         n_valid = self.n_valid
 
-        @jax.jit
-        def search(codes, scales, q):
+        def fn(q, codes, scales):
             # bf16 matmul on the MXU with fp32 accumulate; cosine scores in
             # [-1, 1] so bf16's ~3 decimal digits keep ranking stable — the
             # int8 path's quantisation error dominates anyway
@@ -153,6 +153,15 @@ class VideoIndex:
             scores = jnp.where(pad_mask[None, :], -jnp.inf, scores)
             return jax.lax.top_k(scores, k)
 
+        return fn, (self._codes, self._scales)
+
+    def _search_fn(self, k: int):
+        """One jitted executable per k (query bucket handled by jit's shape
+        cache)."""
+        if k in self._search_cache:
+            return self._search_cache[k]
+        core, _ = self.score_core(k)
+        search = jax.jit(lambda codes, scales, q: core(q, codes, scales))
         self._search_cache[k] = search
         return search
 
@@ -234,6 +243,9 @@ class VideoIndex:
     def load(cls, path: str, mesh=None) -> "VideoIndex":
         with np.load(path, allow_pickle=False) as z:
             meta = json.loads(str(z["meta"]))
+            if meta.get("index_type", "flat") != "flat":
+                raise ValueError(f"{path} holds a {meta['index_type']} "
+                                 "index — use serve.load_index")
             codes = z["codes"]
             scales = z["scales"]
             ids = [str(v) for v in z["video_ids"]]
@@ -261,3 +273,14 @@ class VideoIndex:
                                                     np.float32)])
         out._place()
         return out
+
+
+def load_index(path: str, mesh=None):
+    """Open a saved gallery index of either type (meta's `index_type`
+    dispatches: flat `VideoIndex` vs cluster-pruned `IVFVideoIndex`)."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+    if meta.get("index_type", "flat") == "ivf":
+        from .ivf import IVFVideoIndex
+        return IVFVideoIndex.load(path, mesh=mesh)
+    return VideoIndex.load(path, mesh=mesh)

@@ -1,0 +1,400 @@
+# coding=utf-8
+"""IVF (cluster-pruned) gallery index for million-scale serving.
+
+The flat `VideoIndex` scores every gallery row per query — one big MXU
+matmul whose HBM cost is the whole gallery (N·D bytes) regardless of batch
+size.  That is the right shape for BATCHED throughput (the read is
+amortised over the batch), but for low-latency single-query serving the
+gallery read dominates: at 1M × 512 int8 that is 512 MB of HBM traffic for
+one query.
+
+This index prunes it the CenterCLIP way — with clustering.  The gallery is
+grouped into K spherical k-means cells at build time (the same
+maximum-inner-product geometry the scores use, cf. the frame/token
+clustering in ops/kmedoids.py; reference cluster algos at
+/root/reference/modules/cluster/fast_kmeans.py:45-97 are the training-time
+analogue).  A query then
+
+  1. scores the K centroids          — [Q, K] fp32 matmul (tiny),
+  2. takes the top-`nprobe` cells    — `lax.top_k`,
+  3. gathers ONLY those cells' rows  — [Q, nprobe, cap, D] HBM read,
+  4. scores + top-k within them      — one einsum + `lax.top_k`.
+
+HBM traffic per query drops from N·D to nprobe·cap·D ≈ (nprobe/K)·c·N·D —
+a K/nprobe-fold read reduction at recall governed by nprobe.
+
+TPU-first design:
+* **Static shapes everywhere.**  Cells are FIXED-capacity: rows are
+  assigned to their nearest centroid with space, spilling to the
+  next-nearest (vectorised per preference rank), so the grouped gallery is
+  a dense [K, cap, D] array and the probe gather is a static-shape
+  `take` — no CSR offsets, no data-dependent shapes under jit.
+* **Empty slots carry row-id -1** and are masked to -inf before the final
+  top-k; padding can never escape (same contract as VideoIndex).
+* **Build runs on-device**: the k-means assignment step is a [N, K]
+  matmul + argmax under jit (fp32 HIGHEST — bf16 rounding flips argmax
+  ties, see ops/distances.py), so a 1M-row build is a few MXU seconds.
+* **Same scoring math** as the flat index: bf16 codes matmul with fp32
+  accumulate, per-row int8 scales; with nprobe == K the ranking equals the
+  flat index's (pinned in tests/test_serve_ivf.py).
+
+When to use which (measured in benchmarks/ivf_bench.py): flat for batched
+offline/eval traffic; IVF when queries arrive one-at-a-time and the
+gallery is large (the per-query gather is duplicated across a batch, so
+IVF loses to flat once batch × nprobe·cap approaches N).
+
+Note: single-device by design — the probe gather wants the whole grouped
+gallery local.  The flat `VideoIndex` is the mesh-sharded path.
+"""
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .index import QUANT_MODES, _next_bucket, l2_normalize
+
+
+def _kmeanspp_init(e: jnp.ndarray, k: int, seed: int) -> jnp.ndarray:
+    """k-means++ seeding on unit vectors, fully on-device: each next seed is
+    drawn proportional to its cosine distance from the chosen set (one [N]
+    dot per step -> K·N·D total, same init family as the token clustering's
+    kmeans++ option, ops/kmedoids.py)."""
+    n = e.shape[0]
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    cents = jnp.zeros((k, e.shape[1]), e.dtype).at[0].set(e[first])
+    mind = 1.0 - jnp.matmul(e, e[first],
+                            precision=jax.lax.Precision.HIGHEST)
+
+    def body(i, state):
+        cents, mind, key = state
+        key, sub = jax.random.split(key)
+        w = jnp.clip(mind, 1e-9, None)
+        idx = jax.random.choice(sub, n, p=w / w.sum())
+        ci = e[idx]
+        mind = jnp.minimum(mind, 1.0 - jnp.matmul(
+            e, ci, precision=jax.lax.Precision.HIGHEST))
+        return cents.at[i].set(ci), mind, key
+
+    cents, _, _ = jax.lax.fori_loop(1, k, body, (cents, mind, key))
+    return cents
+
+
+def spherical_kmeans(emb: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 0) -> np.ndarray:
+    """Spherical k-means (cosine / MIPS geometry) -> [K, D] unit centroids.
+
+    k-means++ seeding, then Lloyd iterations; the assignment step is a
+    jitted [N, K] matmul + argmax per iteration (MXU), the centroid update
+    (unsorted segment-sum + renormalise) also stays on-device.  Empty cells
+    keep their previous centroid.
+    """
+    emb = l2_normalize(np.asarray(emb, np.float32))
+    n = emb.shape[0]
+    if not 0 < k <= n:
+        raise ValueError(f"need 0 < k <= n rows, got k={k}, n={n}")
+    centroids = jax.jit(_kmeanspp_init, static_argnums=1)(
+        jnp.asarray(emb), k, seed)
+
+    @jax.jit
+    def step(e, c):
+        sims = jnp.matmul(e, c.T, precision=jax.lax.Precision.HIGHEST)
+        assign = jnp.argmax(sims, axis=1)                      # [N]
+        sums = jax.ops.segment_sum(e, assign, num_segments=k)  # [K, D]
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        new = jnp.where(norms > 1e-6, sums / (norms + 1e-12), c)
+        return new, assign
+
+    e = jnp.asarray(emb)
+    c = jnp.asarray(centroids)
+    for _ in range(max(1, iters)):
+        c, _ = step(e, c)
+    return np.asarray(jax.device_get(c), np.float32)
+
+
+def _capacity_assign(sims: np.ndarray, cap: int) -> np.ndarray:
+    """Assign each row to its best-scoring cluster that still has space.
+
+    sims: [N, K] row-to-centroid scores.  Returns [N] cluster ids with
+    every cluster holding <= cap rows (requires K * cap >= N).  Vectorised
+    per preference rank: rank-r pass sends every still-unassigned row to
+    its r-th choice, and within each cluster the highest-scoring
+    contenders win the remaining slots.
+    """
+    n, k = sims.shape
+    if k * cap < n:
+        raise ValueError(f"capacity {k}x{cap} < {n} rows")
+    pref = np.argsort(-sims, axis=1)                    # [N, K]
+    out = np.full(n, -1, np.int64)
+    counts = np.zeros(k, np.int64)
+    for r in range(k):
+        todo = np.nonzero(out < 0)[0]
+        if todo.size == 0:
+            break
+        cand = pref[todo, r]
+        score = sims[todo, cand]
+        # group rows by candidate cluster, best score first in each group
+        order = np.lexsort((-score, cand))
+        cand_sorted = cand[order]
+        grp_start = np.searchsorted(cand_sorted, cand_sorted)
+        rank_in_grp = np.arange(todo.size) - grp_start
+        ok = rank_in_grp < (cap - counts[cand_sorted])
+        winners = todo[order[ok]]
+        out[winners] = cand_sorted[ok]
+        np.add.at(counts, cand_sorted[ok], 1)
+    return out
+
+
+class IVFVideoIndex:
+    """Fixed-capacity inverted-file gallery index.
+
+    Parameters
+    ----------
+    embeddings : [N, D] pooled video embeddings (normalised here).
+    video_ids : N identifiers returned by queries.
+    quantize : "float32" | "bfloat16" | "int8" storage for cell rows.
+    n_clusters : number of k-means cells; default ~sqrt(N) (rounded to a
+        multiple of 8, clamped to [8, N]).
+    nprobe : cells scored per query (recall/speed knob; overridable per
+        `search` call).
+    capacity_factor : cell capacity = ceil(factor * N / K) rounded up to a
+        multiple of 8 — slack for imbalanced clusters before spill kicks in.
+    iters, seed : k-means build parameters.
+    """
+
+    def __init__(self, embeddings: np.ndarray, video_ids: Sequence[str],
+                 quantize: str = "float32", n_clusters: Optional[int] = None,
+                 nprobe: int = 8, capacity_factor: float = 1.5,
+                 iters: int = 10, seed: int = 0,
+                 _skip_build: bool = False):
+        if quantize not in QUANT_MODES:
+            raise ValueError(f"quantize must be one of {QUANT_MODES}")
+        emb = l2_normalize(np.asarray(embeddings, np.float32))
+        if emb.ndim != 2:
+            raise ValueError(f"embeddings must be [N, D], got {emb.shape}")
+        if emb.shape[0] != len(video_ids):
+            raise ValueError("len(video_ids) != embeddings rows")
+        self.video_ids: List[str] = [str(v) for v in video_ids]
+        self.quantize = quantize
+        self.dim = int(emb.shape[1])
+        self.n_valid = int(emb.shape[0])
+        self.capacity_factor = float(capacity_factor)
+        if n_clusters is None:   # default ~sqrt(N), at least 8 if possible
+            n_clusters = max(int(round(np.sqrt(self.n_valid) / 8)) * 8,
+                             min(8, self.n_valid))
+        self.n_clusters = int(np.clip(n_clusters, 1, max(self.n_valid, 1)))
+        self.nprobe = int(np.clip(nprobe, 1, self.n_clusters))
+        self._search_cache = {}
+        if _skip_build:
+            return
+        self.centroids = spherical_kmeans(emb, self.n_clusters,
+                                          iters=iters, seed=seed)
+        self._group(emb)
+
+    # ------------------------------------------------------------- grouping
+    def _cap_for(self, n: int) -> int:
+        cap = int(np.ceil(self.capacity_factor * n / self.n_clusters))
+        cap = max(cap, 8)
+        return (cap + 7) // 8 * 8
+
+    def _group(self, emb: np.ndarray) -> None:
+        """Assign rows to fixed-capacity cells and build the dense grouped
+        arrays ([K, cap, D] codes, [K, cap] scales, [K, cap] row ids)."""
+        self.n_clusters = int(self.centroids.shape[0])
+        k, cap = self.n_clusters, self._cap_for(emb.shape[0])
+        while k * cap < emb.shape[0]:   # tiny galleries: grow cap, not K
+            cap += 8
+        self.capacity = cap
+        sims = np.asarray(jax.device_get(jnp.matmul(
+            jnp.asarray(emb), jnp.asarray(self.centroids).T,
+            precision=jax.lax.Precision.HIGHEST)))
+        assign = _capacity_assign(sims, cap)
+
+        codes, scales = self._quantize_rows(emb)
+        gcodes = np.zeros((k, cap) + codes.shape[1:], codes.dtype)
+        gscales = np.ones((k, cap), np.float32)
+        gids = np.full((k, cap), -1, np.int32)
+        order = np.argsort(assign, kind="stable")
+        cells = assign[order]
+        slot = np.arange(order.size) - np.searchsorted(cells, cells)
+        gcodes[cells, slot] = codes[order]
+        if scales is not None:
+            gscales[cells, slot] = scales[order, 0]
+        gids[cells, slot] = order.astype(np.int32)
+
+        self._codes_host, self._scales_host = gcodes, (
+            gscales if scales is not None else None)
+        self._rowids_host = gids
+        self._place()
+        self._search_cache = {}
+
+    def _quantize_rows(self, emb: np.ndarray):
+        if self.quantize == "int8":
+            scale = np.max(np.abs(emb), axis=1, keepdims=True) / 127.0
+            scale = np.where(scale == 0.0, 1.0, scale)
+            codes = np.clip(np.rint(emb / scale), -127, 127).astype(np.int8)
+            return codes, scale.astype(np.float32)
+        if self.quantize == "bfloat16":
+            return np.asarray(jnp.asarray(emb, jnp.bfloat16)), None
+        return emb.astype(np.float32), None
+
+    def _place(self):
+        self._codes = jnp.asarray(self._codes_host)
+        self._scales = (jnp.asarray(self._scales_host)
+                        if self._scales_host is not None else None)
+        self._rowids = jnp.asarray(self._rowids_host)
+        self._centroids = jnp.asarray(self.centroids)
+
+    # ---------------------------------------------------------------- search
+    def score_core(self, k: int, nprobe: Optional[int] = None):
+        """(traceable_fn, device_operands) — same contract as
+        `VideoIndex.score_core`, so RetrievalEngine fuses the text tower
+        straight into the probe+score program."""
+        p = int(np.clip(nprobe if nprobe is not None else self.nprobe,
+                        1, self.n_clusters))
+
+        def fn(q, centroids, codes, scales, rowids):
+            # 1-2) probe: tiny [Q, K] matmul, top-p cells
+            csims = jnp.matmul(q, centroids.T,
+                               precision=jax.lax.Precision.HIGHEST)
+            _, cells = jax.lax.top_k(csims, p)              # [Q, P]
+            # 3) gather ONLY the probed cells' rows: [Q, P, cap, D]
+            rows = jnp.take(codes, cells, axis=0)
+            ids = jnp.take(rowids, cells, axis=0)           # [Q, P, cap]
+            # 4) score within cells — same bf16/fp32 math as the flat index
+            s = jnp.einsum("qd,qpcd->qpc", q.astype(jnp.bfloat16),
+                           rows.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            if scales is not None:
+                s = s * jnp.take(scales, cells, axis=0)
+            s = jnp.where(ids < 0, -jnp.inf, s)
+            qn = q.shape[0]
+            flat_s = s.reshape(qn, -1)
+            flat_ids = ids.reshape(qn, -1)
+            top, pos = jax.lax.top_k(flat_s, k)
+            return top, jnp.take_along_axis(flat_ids, pos, axis=1)
+
+        return fn, (self._centroids, self._codes, self._scales,
+                    self._rowids)
+
+    def _search_fn(self, k: int, nprobe: Optional[int]):
+        key = (k, nprobe)
+        if key not in self._search_cache:
+            core, _ = self.score_core(k, nprobe)
+            self._search_cache[key] = jax.jit(core)
+        return self._search_cache[key]
+
+    def search(self, query_emb: np.ndarray, k: int = 5,
+               nprobe: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Approximate top-k (exact when nprobe == n_clusters).  Same
+        signature/contract as VideoIndex.search; indices are ORIGINAL
+        gallery rows, padding/empty slots never escape (assuming
+        k <= rows reachable in the probed cells, which fixed capacity
+        guarantees for k <= cap)."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        k = min(k, self.n_valid)
+        q = l2_normalize(np.asarray(query_emb, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        n_q = q.shape[0]
+        bucket = _next_bucket(n_q)
+        if bucket != n_q:
+            q = np.concatenate(
+                [q, np.zeros((bucket - n_q, self.dim), np.float32)])
+        scores, idx = self._search_fn(k, nprobe)(
+            jnp.asarray(q), self._centroids, self._codes, self._scales,
+            self._rowids)
+        scores, idx = jax.device_get((scores, idx))
+        return scores[:n_q], idx[:n_q]
+
+    def add(self, embeddings: np.ndarray, video_ids: Sequence[str]) -> None:
+        """Append videos: centroids stay fixed (cheap, standard IVF add);
+        all rows are re-grouped so capacities/spill stay globally optimal.
+        Re-groups from exact stored codes — add-vs-fresh-build exactness
+        holds for the stored rows (quantisation is per-row)."""
+        emb = l2_normalize(np.asarray(embeddings, np.float32))
+        if emb.ndim != 2 or emb.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}], got {emb.shape}")
+        if emb.shape[0] != len(video_ids):
+            raise ValueError("len(video_ids) != embeddings rows")
+        old = self._dequantized_rows()
+        self.video_ids += [str(v) for v in video_ids]
+        self.n_valid += int(emb.shape[0])
+        self._group(np.concatenate([old, emb]))
+
+    def _dequantized_rows(self) -> np.ndarray:
+        """[n_valid, D] fp32 rows in ORIGINAL order from the grouped
+        storage (int8 dequantisation is exact given the stored scales)."""
+        flat_ids = self._rowids_host.reshape(-1)
+        keep = flat_ids >= 0
+        rows = self._codes_host.reshape(-1, self.dim)[keep].astype(
+            np.float32)
+        if self._scales_host is not None:
+            rows = rows * self._scales_host.reshape(-1)[keep, None]
+        out = np.zeros((self.n_valid, self.dim), np.float32)
+        out[flat_ids[keep]] = rows
+        return out
+
+    def lookup(self, indices: np.ndarray) -> List[str]:
+        return [self.video_ids[int(i)] for i in np.asarray(indices).ravel()]
+
+    def __len__(self) -> int:
+        return self.n_valid
+
+    # --------------------------------------------------------------- storage
+    def save(self, path: str) -> None:
+        meta = dict(index_type="ivf", quantize=self.quantize, dim=self.dim,
+                    n_valid=self.n_valid, n_clusters=self.n_clusters,
+                    nprobe=self.nprobe, capacity=self.capacity,
+                    capacity_factor=self.capacity_factor, version=1)
+        codes = self._codes_host
+        if self.quantize == "bfloat16":
+            codes = codes.astype(np.float32)  # npz has no bf16
+        np.savez_compressed(
+            path, codes=codes,
+            scales=(self._scales_host if self._scales_host is not None
+                    else np.zeros(0)),
+            rowids=self._rowids_host, centroids=self.centroids,
+            video_ids=np.asarray(self.video_ids), meta=json.dumps(meta))
+
+    @classmethod
+    def load(cls, path: str, mesh=None) -> "IVFVideoIndex":
+        if mesh is not None:
+            raise ValueError("IVFVideoIndex is single-device; use the flat "
+                             "VideoIndex for mesh-sharded galleries")
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            codes, rowids = z["codes"], z["rowids"]
+            scales = z["scales"]
+            centroids = z["centroids"]
+            ids = [str(v) for v in z["video_ids"]]
+        out = cls(np.zeros((0, meta["dim"])), [], quantize=meta["quantize"],
+                  n_clusters=meta["n_clusters"], nprobe=meta["nprobe"],
+                  capacity_factor=meta["capacity_factor"], _skip_build=True)
+        out.video_ids = ids
+        out.dim = meta["dim"]
+        out.n_valid = meta["n_valid"]
+        out.n_clusters = meta["n_clusters"]
+        out.nprobe = meta["nprobe"]   # __init__'s clip saw the empty build
+        out.capacity = meta["capacity"]
+        out.centroids = centroids.astype(np.float32)
+        if meta["quantize"] == "int8":
+            out._codes_host = codes.astype(np.int8)
+            out._scales_host = scales.astype(np.float32)
+        elif meta["quantize"] == "bfloat16":
+            out._codes_host = np.asarray(jnp.asarray(codes, jnp.bfloat16))
+            out._scales_host = None
+        else:
+            out._codes_host = codes.astype(np.float32)
+            out._scales_host = None
+        out._rowids_host = rowids.astype(np.int32)
+        out._place()
+        return out

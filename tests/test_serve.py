@@ -232,6 +232,35 @@ def test_engine_mesh_matches_single_device(rng):
     np.testing.assert_allclose(s0, s1, rtol=1e-3, atol=1e-3)
 
 
+def test_engine_fused_search_matches_two_step(rng):
+    """`search_token_ids` (one fused dispatch) must reproduce the two-step
+    encode_token_ids + VideoIndex.search path: same ranking, same scores up
+    to the device-vs-host placement of the second normalise (ulps into a
+    bf16 matmul)."""
+    run, model, params = _init_engine_model(rng)
+    engine = RetrievalEngine(model, params)
+    batches = [make_batch(np.random.default_rng(s), 8) for s in range(2)]
+    engine.build_index(
+        ({"video": b["video"], "video_mask": b["video_mask"]}
+         for b in batches), [f"v{i}" for i in range(16)])
+    ids = np.concatenate([b["input_ids"] for b in batches])[:5]
+
+    q = engine.encode_token_ids(ids)
+    s_two, i_two = engine.index.search(q, k=4)
+    s_fused, i_fused = engine.search_token_ids(ids, k=4)
+
+    np.testing.assert_allclose(s_fused, s_two * engine.logit_scale,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(i_fused[:, 0], i_two[:, 0])
+    for rf, rt in zip(i_fused, i_two):           # same top-k set per query
+        assert set(rf.tolist()) == set(rt.tolist())
+    # k is clamped to the gallery like VideoIndex.search
+    s_all, i_all = engine.search_token_ids(ids[:1], k=99)
+    assert s_all.shape == (1, 16) and sorted(i_all[0]) == list(range(16))
+    with pytest.raises(RuntimeError, match="no index"):
+        RetrievalEngine(model, params).search_token_ids(ids, k=2)
+
+
 def test_engine_warmup(rng):
     run, model, params = _init_engine_model(rng)
     engine = RetrievalEngine(model, params)

@@ -90,6 +90,88 @@ def test_serve_cli_build_then_query(msrvtt_root, tmp_path, capsys):  # noqa: F81
     assert loaded.video_ids == index.video_ids
 
 
+def test_serve_cli_build_query_ivf(msrvtt_root, tmp_path, capsys):  # noqa: F811
+    """--index_type ivf end-to-end: build a cluster-pruned index from the
+    dataset, reload it through the meta dispatcher, answer queries."""
+    from centerclip_tpu.serve import cli as serve_cli
+    from centerclip_tpu.serve.index import VideoIndex, load_index
+    from centerclip_tpu.serve.ivf import IVFVideoIndex
+
+    idx_path = str(tmp_path / "gallery_ivf.npz")
+    flags = _flags(msrvtt_root, tmp_path / "out")
+    with _res32():
+        index = serve_cli.main(
+            ["build", "--index_path", idx_path, "--index_type", "ivf",
+             "--n_clusters", "4", "--nprobe", "4", "--quantize", "int8"]
+            + flags)
+    assert isinstance(index, IVFVideoIndex)
+    assert index.n_clusters == 4 and len(index) == 8
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["index_type"] == "ivf"
+
+    with _res32():
+        results = serve_cli.main(
+            ["query", "--index_path", idx_path, "--topk", "3",
+             "--query", "a person cooking in a kitchen"] + flags)
+    assert len(results) == 1 and len(results[0]) == 3
+    assert all(r["video_id"].startswith("video") for r in results[0])
+
+    # the meta dispatcher picks the right class; the flat loader refuses
+    assert isinstance(load_index(idx_path), IVFVideoIndex)
+    import pytest
+    with pytest.raises(ValueError, match="load_index"):
+        VideoIndex.load(idx_path)
+
+
+def test_serve_cli_http_daemon(msrvtt_root, tmp_path, capsys, monkeypatch):  # noqa: F811
+    """`serve` command: load index, bind, warm up, answer a live request."""
+    import urllib.request
+    from centerclip_tpu.serve import cli as serve_cli
+    from centerclip_tpu.serve.http import RetrievalServer
+
+    idx_path = str(tmp_path / "gallery.npz")
+    flags = _flags(msrvtt_root, tmp_path / "out")
+    with _res32():
+        serve_cli.main(
+            ["build", "--index_path", idx_path, "--quantize", "int8"]
+            + flags)
+    capsys.readouterr()
+
+    # serve_forever blocks; run the request inside it instead
+    def fake_serve_forever(self):
+        url = "http://%s:%d/search" % self.address
+        req = urllib.request.Request(
+            url, data=json.dumps({"queries": ["a person cooking"],
+                                  "k": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        self._httpd.timeout = 1
+        import threading
+        out = {}
+
+        def ask():
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                out["body"] = json.loads(resp.read())
+        t = threading.Thread(target=ask)
+        t.start()
+        while t.is_alive():
+            self._httpd.handle_request()
+        t.join()
+        fake_serve_forever.body = out["body"]
+
+    monkeypatch.setattr(RetrievalServer, "serve_forever", fake_serve_forever)
+    with _res32():
+        server = serve_cli.main(
+            ["serve", "--index_path", idx_path, "--port", "0",
+             "--topk", "3"] + flags)
+    assert isinstance(server, RetrievalServer)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["videos"] == 8 and line["listening"].startswith("http://")
+    ranked = fake_serve_forever.body["results"][0]
+    assert len(ranked) == 2
+    assert all(r["video_id"].startswith("video") for r in ranked)
+    server._httpd.server_close()
+
+
 def test_gallery_batches_multi_sentence_dedupe():
     """Multi-sentence filtering + re-batching: unique videos at cut-offs,
     full-width batches, ragged tail."""

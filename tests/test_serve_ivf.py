@@ -1,0 +1,151 @@
+# coding=utf-8
+"""IVF (cluster-pruned) index: exactness at nprobe=K vs the flat
+VideoIndex, recall on clusterable galleries, capacity/spill invariants,
+save/load, add, and the fused RetrievalEngine path."""
+import numpy as np
+import pytest
+
+from tests.test_serve import _init_engine_model, make_batch
+from centerclip_tpu.serve import RetrievalEngine, VideoIndex
+from centerclip_tpu.serve.ivf import (IVFVideoIndex, _capacity_assign,
+                                      spherical_kmeans)
+
+
+def _clustered_gallery(rng, n=512, d=32, n_centers=16, noise=0.15):
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.integers(0, n_centers, size=n)
+    emb = centers[which] + noise * rng.normal(size=(n, d)).astype(np.float32)
+    return emb.astype(np.float32)
+
+
+# ------------------------------------------------------------------- builds
+def test_spherical_kmeans_unit_centroids(rng):
+    emb = _clustered_gallery(rng)
+    c = spherical_kmeans(emb, 16, iters=8)
+    assert c.shape == (16, 32)
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-4)
+    with pytest.raises(ValueError):
+        spherical_kmeans(emb, 0)
+    with pytest.raises(ValueError):
+        spherical_kmeans(emb[:4], 5)
+
+
+def test_capacity_assign_respects_cap_and_prefers_best(rng):
+    sims = rng.normal(size=(40, 4)).astype(np.float32)
+    out = _capacity_assign(sims, cap=10)
+    assert out.min() >= 0
+    assert np.bincount(out, minlength=4).max() <= 10
+    # uncapped rows go to their argmax
+    loose = _capacity_assign(sims, cap=40)
+    np.testing.assert_array_equal(loose, np.argmax(sims, axis=1))
+    with pytest.raises(ValueError, match="capacity"):
+        _capacity_assign(sims, cap=9)
+
+
+def test_ivf_full_probe_matches_flat_exact(rng):
+    """nprobe == n_clusters scores every row -> must reproduce the flat
+    index's ranking and scores (same bf16/fp32 math, different layout)."""
+    emb = _clustered_gallery(rng)
+    ids = [f"v{i}" for i in range(len(emb))]
+    q = rng.normal(size=(5, emb.shape[1])).astype(np.float32)
+    for quant in ("float32", "int8"):
+        flat = VideoIndex(emb, ids, quantize=quant)
+        ivf = IVFVideoIndex(emb, ids, quantize=quant, n_clusters=16)
+        s0, i0 = flat.search(q, k=7)
+        s1, i1 = ivf.search(q, k=7, nprobe=16)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_recall_and_pruning(rng):
+    emb = _clustered_gallery(rng, n=1024, n_centers=16)
+    ids = [str(i) for i in range(len(emb))]
+    flat = VideoIndex(emb, ids)
+    ivf = IVFVideoIndex(emb, ids, n_clusters=16, nprobe=4)
+    q = _clustered_gallery(rng, n=32, n_centers=16)
+    _, exact = flat.search(q, k=10)
+    _, approx = ivf.search(q, k=10)            # default nprobe=4 of 16
+    recall = np.mean([len(set(a) & set(e)) / 10.0
+                      for a, e in zip(approx, exact)])
+    assert recall >= 0.9, recall                # clusterable data: near-exact
+    # indices are real rows, never padding/empty slots
+    assert approx.min() >= 0 and approx.max() < len(emb)
+    # probing fewer cells can only lower the returned scores
+    s1, _ = ivf.search(q[:1], k=5, nprobe=1)
+    s16, _ = ivf.search(q[:1], k=5, nprobe=16)
+    assert np.all(s16 + 1e-5 >= s1)
+
+
+def test_ivf_default_clusters_and_tiny_gallery(rng):
+    emb = rng.normal(size=(12, 16)).astype(np.float32)
+    ivf = IVFVideoIndex(emb, [str(i) for i in range(12)])
+    assert 1 <= ivf.n_clusters <= 12
+    s, i = ivf.search(emb[3], k=3, nprobe=ivf.n_clusters)
+    assert i[0, 0] == 3                         # self-match survives
+    assert len(ivf) == 12
+
+
+def test_ivf_save_load_roundtrip(rng, tmp_path):
+    emb = _clustered_gallery(rng, n=256)
+    ids = [f"v{i}" for i in range(256)]
+    for quant in ("float32", "bfloat16", "int8"):
+        ivf = IVFVideoIndex(emb, ids, quantize=quant, n_clusters=8,
+                            nprobe=3)
+        path = str(tmp_path / f"ivf_{quant}.npz")
+        ivf.save(path)
+        back = IVFVideoIndex.load(path)
+        assert back.n_clusters == 8 and back.nprobe == 3
+        assert back.video_ids == ids
+        q = rng.normal(size=(3, emb.shape[1])).astype(np.float32)
+        s0, i0 = ivf.search(q, k=5)
+        s1, i1 = back.search(q, k=5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-5)
+    with pytest.raises(ValueError, match="single-device"):
+        IVFVideoIndex.load(str(tmp_path / "ivf_int8.npz"), mesh=object())
+
+
+def test_ivf_add_matches_fresh_build(rng):
+    emb = _clustered_gallery(rng, n=300)
+    ids = [f"v{i}" for i in range(300)]
+    ivf = IVFVideoIndex(emb[:200], ids[:200], quantize="int8",
+                        n_clusters=8, seed=1)
+    ivf.add(emb[200:], ids[200:])
+    assert len(ivf) == 300 and ivf.video_ids == ids
+    # centroids fixed at add time: a fresh build OVER THE SAME centroids
+    # must produce identical answers (grouping is deterministic)
+    fresh = IVFVideoIndex(emb[:1], ids[:1], quantize="int8",
+                          n_clusters=8, _skip_build=True)
+    fresh.video_ids, fresh.n_valid = list(ids), 300
+    fresh.centroids = ivf.centroids
+    fresh._group(emb / np.linalg.norm(emb, axis=1, keepdims=True))
+    q = rng.normal(size=(4, emb.shape[1])).astype(np.float32)
+    s0, i0 = ivf.search(q, k=6, nprobe=8)
+    s1, i1 = fresh.search(q, k=6, nprobe=8)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------ engine fusion
+def test_engine_fused_search_with_ivf(rng):
+    """RetrievalEngine.search over an IVF index: the fused tower+probe
+    program at nprobe=K must equal the same engine over the flat index."""
+    run, model, params = _init_engine_model(rng)
+    engine = RetrievalEngine(model, params)
+    batches = [make_batch(np.random.default_rng(s), 8) for s in range(2)]
+    gallery = engine.embed_video_batches(
+        {"video": b["video"], "video_mask": b["video_mask"]}
+        for b in batches)
+    ids = [f"v{i}" for i in range(16)]
+
+    engine.index = VideoIndex(gallery, ids)
+    flat_out = engine.search(["a man cooking", "a dog"], k=4)
+    engine.index = IVFVideoIndex(gallery, ids, n_clusters=4, nprobe=4)
+    engine._fused_cache.clear()
+    ivf_out = engine.search(["a man cooking", "a dog"], k=4)
+    for a, b in zip(flat_out, ivf_out):
+        assert [r["video_id"] for r in a] == [r["video_id"] for r in b]
+        np.testing.assert_allclose([r["score"] for r in a],
+                                   [r["score"] for r in b],
+                                   rtol=1e-3, atol=1e-3)
