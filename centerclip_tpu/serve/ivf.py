@@ -118,27 +118,31 @@ def spherical_kmeans(emb: np.ndarray, k: int, iters: int = 10,
     return np.asarray(jax.device_get(c), np.float32)
 
 
-def _capacity_assign(sims: np.ndarray, cap: int) -> np.ndarray:
+def _capacity_assign(pref_idx: np.ndarray, pref_val: np.ndarray, k: int,
+                     cap: int) -> np.ndarray:
     """Assign each row to its best-scoring cluster that still has space.
 
-    sims: [N, K] row-to-centroid scores.  Returns [N] cluster ids with
-    every cluster holding <= cap rows (requires K * cap >= N).  Vectorised
-    per preference rank: rank-r pass sends every still-unassigned row to
-    its r-th choice, and within each cluster the highest-scoring
-    contenders win the remaining slots.
+    pref_idx/pref_val: [N, R] each row's top-R clusters (best first) and
+    their scores — R << K keeps the build memory at O(N·R) instead of the
+    full [N, K] score matrix (the matrix + top-R live on device; only
+    these slices come to the host).  Returns [N] cluster ids with every
+    cluster holding <= cap rows (requires K * cap >= N).  Vectorised per
+    preference rank: rank-r pass sends every still-unassigned row to its
+    r-th choice, and within each cluster the highest-scoring contenders
+    win the remaining slots.  Rows exhausting all R preferences overflow
+    into arbitrary clusters with space (rare: needs >R·cap-full cells).
     """
-    n, k = sims.shape
+    n, r_max = pref_idx.shape
     if k * cap < n:
         raise ValueError(f"capacity {k}x{cap} < {n} rows")
-    pref = np.argsort(-sims, axis=1)                    # [N, K]
     out = np.full(n, -1, np.int64)
     counts = np.zeros(k, np.int64)
-    for r in range(k):
+    for r in range(r_max):
         todo = np.nonzero(out < 0)[0]
         if todo.size == 0:
             break
-        cand = pref[todo, r]
-        score = sims[todo, cand]
+        cand = pref_idx[todo, r].astype(np.int64)
+        score = pref_val[todo, r]
         # group rows by candidate cluster, best score first in each group
         order = np.lexsort((-score, cand))
         cand_sorted = cand[order]
@@ -148,6 +152,10 @@ def _capacity_assign(sims: np.ndarray, cap: int) -> np.ndarray:
         winners = todo[order[ok]]
         out[winners] = cand_sorted[ok]
         np.add.at(counts, cand_sorted[ok], 1)
+    todo = np.nonzero(out < 0)[0]
+    if todo.size:   # overflow: any cluster with space, fullest-last
+        free = np.repeat(np.arange(k), cap - counts)
+        out[todo] = free[:todo.size]
     return out
 
 
@@ -211,10 +219,17 @@ class IVFVideoIndex:
         while k * cap < emb.shape[0]:   # tiny galleries: grow cap, not K
             cap += 8
         self.capacity = cap
-        sims = np.asarray(jax.device_get(jnp.matmul(
-            jnp.asarray(emb), jnp.asarray(self.centroids).T,
-            precision=jax.lax.Precision.HIGHEST)))
-        assign = _capacity_assign(sims, cap)
+        r = min(k, 16)
+
+        @jax.jit
+        def top_prefs(e, c):
+            sims = jnp.matmul(e, c.T, precision=jax.lax.Precision.HIGHEST)
+            val, idx = jax.lax.top_k(sims, r)
+            return idx, val
+
+        pref_idx, pref_val = (np.asarray(a) for a in jax.device_get(
+            top_prefs(jnp.asarray(emb), jnp.asarray(self.centroids))))
+        assign = _capacity_assign(pref_idx, pref_val, k, cap)
 
         codes, scales = self._quantize_rows(emb)
         gcodes = np.zeros((k, cap) + codes.shape[1:], codes.dtype)

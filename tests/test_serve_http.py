@@ -112,6 +112,33 @@ def test_error_contract(server):
         pass
 
 
+def test_concurrent_clients(server):
+    """N threads hitting /search at once: the engine lock serialises device
+    dispatch, every request succeeds, results equal the single-client
+    answer (no cross-request state)."""
+    import threading
+    queries = [f"query number {i}" for i in range(6)]
+    want = [server.engine.search([q], k=3) for q in queries]
+    out = [None] * len(queries)
+
+    def hit(i):
+        code, body = _post(_base(server) + "/search",
+                           {"queries": [queries[i]], "k": 3})
+        out[i] = (code, body)
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i, (code, body) in enumerate(out):
+        assert code == 200, (i, body)
+        got = body["results"][0]
+        assert [r["video_id"] for r in got] == \
+            [r["video_id"] for r in want[i][0]]
+
+
 def test_warmup_and_requires_index(server, rng):
     assert server.warmup(max_queries=2) >= 1
     run, model, params = _init_engine_model(rng)

@@ -33,14 +33,20 @@ def test_spherical_kmeans_unit_centroids(rng):
 
 def test_capacity_assign_respects_cap_and_prefers_best(rng):
     sims = rng.normal(size=(40, 4)).astype(np.float32)
-    out = _capacity_assign(sims, cap=10)
+    pref = np.argsort(-sims, axis=1)
+    val = np.take_along_axis(sims, pref, axis=1)
+    out = _capacity_assign(pref, val, k=4, cap=10)
     assert out.min() >= 0
     assert np.bincount(out, minlength=4).max() <= 10
     # uncapped rows go to their argmax
-    loose = _capacity_assign(sims, cap=40)
+    loose = _capacity_assign(pref, val, k=4, cap=40)
     np.testing.assert_array_equal(loose, np.argmax(sims, axis=1))
+    # truncated preference list: overflow rows still land in open cells
+    trunc = _capacity_assign(pref[:, :1], val[:, :1], k=4, cap=10)
+    assert trunc.min() >= 0
+    assert np.bincount(trunc, minlength=4).max() <= 10
     with pytest.raises(ValueError, match="capacity"):
-        _capacity_assign(sims, cap=9)
+        _capacity_assign(pref, val, k=4, cap=9)
 
 
 def test_ivf_full_probe_matches_flat_exact(rng):
