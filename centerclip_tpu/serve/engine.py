@@ -211,10 +211,12 @@ class RetrievalEngine:
         scores, idx = self.search_token_ids(ids, k=k)
         out = []
         for q in range(len(texts)):
+            # i < 0 is an IVF "no result" slot (probed cells ran light,
+            # serve/ivf.py `search` docstring) — drop, don't wrap around
             out.append([
                 {"video_id": self.index.video_ids[int(i)],
                  "score": float(s)}
-                for s, i in zip(scores[q], idx[q])])
+                for s, i in zip(scores[q], idx[q]) if i >= 0])
         return out
 
     def search_token_ids(self, input_ids: np.ndarray, k: int = 5

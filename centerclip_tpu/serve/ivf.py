@@ -273,6 +273,10 @@ class IVFVideoIndex:
         straight into the probe+score program."""
         p = int(np.clip(nprobe if nprobe is not None else self.nprobe,
                         1, self.n_clusters))
+        # only p*cap rows are reachable per query — clamp like the flat
+        # index clamps to n_valid (callers get a narrower result, never a
+        # top_k error)
+        k = min(k, p * self.capacity)
 
         def fn(q, centroids, codes, scales, rowids):
             # 1-2) probe: tiny [Q, K] matmul, top-p cells
@@ -310,9 +314,11 @@ class IVFVideoIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Approximate top-k (exact when nprobe == n_clusters).  Same
         signature/contract as VideoIndex.search; indices are ORIGINAL
-        gallery rows, padding/empty slots never escape (assuming
-        k <= rows reachable in the probed cells, which fixed capacity
-        guarantees for k <= cap)."""
+        gallery rows.  If k exceeds the rows actually OCCUPYING the probed
+        cells (possible when k is near nprobe*capacity and cells run
+        light), the tail entries are explicit no-results: score -inf,
+        index -1 — callers must treat them as absent (RetrievalEngine
+        filters them; never feed -1 to `lookup`)."""
         if k <= 0:
             raise ValueError("k must be positive")
         k = min(k, self.n_valid)

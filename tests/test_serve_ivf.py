@@ -81,6 +81,14 @@ def test_ivf_recall_and_pruning(rng):
     s1, _ = ivf.search(q[:1], k=5, nprobe=1)
     s16, _ = ivf.search(q[:1], k=5, nprobe=16)
     assert np.all(s16 + 1e-5 >= s1)
+    # k beyond the reachable rows clamps (like flat clamps to n_valid);
+    # slots past the probed cells' occupancy are explicit no-results
+    # (score -inf, id -1) — never a wrapped-around real id
+    s, i = ivf.search(q[:1], k=2 * ivf.capacity, nprobe=1)
+    assert s.shape[1] == ivf.capacity
+    finite = np.isfinite(s)
+    assert np.all(i[finite] >= 0) and np.all(i[~finite] == -1)
+    assert finite.sum() > 0
 
 
 def test_ivf_default_clusters_and_tiny_gallery(rng):
