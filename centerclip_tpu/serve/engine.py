@@ -97,18 +97,25 @@ class RetrievalEngine:
             return seq / (jnp.linalg.norm(seq, axis=-1,
                                           keepdims=True) + 1e-12)
         q = model.apply(variables, input_ids, method=fn)
-        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
         return score_core(q, *operands)
 
     def _fused_search_fn(self, k: int):
         """Cached jitted (tokenised query batch -> top-k) executable +
-        its index operands; keyed by (k, index identity, gallery n_valid) —
-        `add` changes the index's pad mask/grouping, re-attaching a
-        different index (or index TYPE) must not reuse the old core, and
-        jit's shape cache handles query-bucket / gallery-shape changes."""
-        key = (k, id(self.index), self.index.n_valid)
+        its index operands; keyed by (k, index.version) — `version` is a
+        process-wide monotone counter bumped on every index build or
+        mutation (serve/index.py), so `add`, re-attaching a different
+        index (or index TYPE), and even id() reuse after GC can never hit
+        a stale core.  Entries for other versions are evicted so a
+        long-running server that mutates/reloads its index does not pin
+        the OLD gallery's device buffers in HBM (ADVICE r4 #1); jit's
+        shape cache handles query-bucket / gallery-shape changes."""
+        version = self.index.version
+        key = (k, version)
         hit = self._fused_cache.get(key)
         if hit is None:
+            stale = [kk for kk in self._fused_cache if kk[1] != version]
+            for kk in stale:
+                del self._fused_cache[kk]
             core, operands = self.index.score_core(k)
             hit = (jax.jit(functools.partial(
                 self._fused_search_impl, self.model, core)), operands)

@@ -88,7 +88,8 @@ class RetrievalServer:
             raise ValueError(
                 f"at most {MAX_QUERIES_PER_REQUEST} queries per request")
         k = body.get("k", self.default_k)
-        if not isinstance(k, int) or k <= 0:
+        # bool subclasses int: {"k": true} must 400, not search with k=1
+        if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
             raise ValueError('"k" must be a positive integer')
         t0 = time.perf_counter()
         with self._lock:

@@ -23,6 +23,7 @@ TPU-first design decisions:
 """
 from __future__ import annotations
 
+import itertools
 import json
 from typing import List, Optional, Sequence, Tuple
 
@@ -32,6 +33,11 @@ import jax
 import jax.numpy as jnp
 
 QUANT_MODES = ("float32", "bfloat16", "int8")
+
+# process-wide monotone counter: every index construction or mutation gets a
+# fresh number, so caches keyed on `index.version` can never hit a stale
+# entry — unlike id(), which CPython reuses after GC (ADVICE r4 #1)
+_INDEX_VERSIONS = itertools.count(1)
 
 # queries are padded up to the nearest bucket so each (bucket, k) pair
 # compiles exactly once
@@ -82,6 +88,7 @@ class VideoIndex:
         self._codes_host, self._scales_host = self._pad_rows(codes, scales)
         self._place()
         self._search_cache = {}
+        self.version = next(_INDEX_VERSIONS)
 
     # ---------------------------------------------------------- quantisation
     def _quantize_rows(self, emb: np.ndarray):
@@ -215,6 +222,7 @@ class VideoIndex:
         self._place()
         # the cached executables close over the OLD n_valid pad mask
         self._search_cache = {}
+        self.version = next(_INDEX_VERSIONS)
 
     def lookup(self, indices: np.ndarray) -> List[str]:
         return [self.video_ids[int(i)] for i in np.asarray(indices).ravel()]
@@ -272,6 +280,7 @@ class VideoIndex:
                 [codes.astype(np.float32), np.zeros((pad, out.dim),
                                                     np.float32)])
         out._place()
+        out.version = next(_INDEX_VERSIONS)
         return out
 
 

@@ -56,7 +56,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .index import QUANT_MODES, _next_bucket, l2_normalize
+from .index import QUANT_MODES, _INDEX_VERSIONS, _next_bucket, l2_normalize
+
+# IVF is the small-batch / low-latency path: the probe gather materialises
+# [Q, nprobe, cap, D] rows, which at 1M rows (cap~1500, D=512, bf16) is
+# ~12 MB per query per probed cell — a Q=128 batch would gather gigabytes.
+# Query batches are chunked to this bucket (ADVICE r4 #4); large batches
+# belong on the flat index anyway (see module docstring).
+MAX_QUERY_BUCKET = 32
 
 
 def _kmeanspp_init(e: jnp.ndarray, k: int, seed: int) -> jnp.ndarray:
@@ -176,6 +183,10 @@ class IVFVideoIndex:
     iters, seed : k-means build parameters.
     """
 
+    # engines chunk query batches to this many rows per dispatch (the probe
+    # gather is O(Q · nprobe · cap · D) HBM — see MAX_QUERY_BUCKET note)
+    max_query_bucket = MAX_QUERY_BUCKET
+
     def __init__(self, embeddings: np.ndarray, video_ids: Sequence[str],
                  quantize: str = "float32", n_clusters: Optional[int] = None,
                  nprobe: int = 8, capacity_factor: float = 1.5,
@@ -199,6 +210,7 @@ class IVFVideoIndex:
         self.n_clusters = int(np.clip(n_clusters, 1, max(self.n_valid, 1)))
         self.nprobe = int(np.clip(nprobe, 1, self.n_clusters))
         self._search_cache = {}
+        self.version = next(_INDEX_VERSIONS)
         if _skip_build:
             return
         self.centroids = spherical_kmeans(emb, self.n_clusters,
@@ -248,6 +260,7 @@ class IVFVideoIndex:
         self._rowids_host = gids
         self._place()
         self._search_cache = {}
+        self.version = next(_INDEX_VERSIONS)
 
     def _quantize_rows(self, emb: np.ndarray):
         if self.quantize == "int8":
@@ -326,6 +339,11 @@ class IVFVideoIndex:
         if q.ndim == 1:
             q = q[None]
         n_q = q.shape[0]
+        if n_q > MAX_QUERY_BUCKET:   # bound the probe gather's HBM footprint
+            parts = [self.search(q[i:i + MAX_QUERY_BUCKET], k, nprobe)
+                     for i in range(0, n_q, MAX_QUERY_BUCKET)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         bucket = _next_bucket(n_q)
         if bucket != n_q:
             q = np.concatenate(
@@ -365,7 +383,16 @@ class IVFVideoIndex:
         return out
 
     def lookup(self, indices: np.ndarray) -> List[str]:
-        return [self.video_ids[int(i)] for i in np.asarray(indices).ravel()]
+        """Row indices -> video ids.  `search` can return -1 no-result
+        sentinels (probed cells ran light); those must be filtered by the
+        caller, and a negative index here raises rather than silently
+        wrapping to the LAST video (ADVICE r4 #3)."""
+        idx = np.asarray(indices).ravel()
+        if (idx < 0).any():
+            raise ValueError(
+                "negative index: -1 is the IVF no-result sentinel — filter "
+                "rows with idx < 0 before lookup (RetrievalEngine does)")
+        return [self.video_ids[int(i)] for i in idx]
 
     def __len__(self) -> int:
         return self.n_valid
@@ -418,4 +445,5 @@ class IVFVideoIndex:
             out._scales_host = None
         out._rowids_host = rowids.astype(np.int32)
         out._place()
+        out.version = next(_INDEX_VERSIONS)
         return out

@@ -58,16 +58,20 @@ def make_lr_schedule(cfg: OptimConfig, total_steps: int,
     (reference: lr_scheduler.py:65-110): linear warmup over
     `slow_start_iters = warmup_proportion * total_steps` then
     cos/poly/HTD/step decay, floored at end_lr."""
-    slow_start = int(cfg.warmup_proportion * total_steps)
+    # float, NOT int(...): the reference keeps slow_start_iters fractional
+    # (lr_scheduler.py:46,73) and truncating shifts every lr whenever
+    # warmup_proportion * total_steps is non-integral (caught by the
+    # trajectory oracle, test_reference_oracle.py)
+    slow_start = cfg.warmup_proportion * total_steps
     slow_start_lr = 1e-8
-    total = max(total_steps - slow_start, 1)
+    total = max(total_steps - slow_start, 1e-9)
     init_lr = cfg.lr
 
     def schedule(step):
         t = jnp.asarray(step, jnp.float32)
         warm = jnp.minimum(
-            (t / max(slow_start, 1)) * (init_lr - slow_start_lr)
-            + slow_start_lr, init_lr)
+            (t / (slow_start if slow_start > 0 else 1.0))
+            * (init_lr - slow_start_lr) + slow_start_lr, init_lr)
         tt = t - slow_start
         if cfg.lr_mode == "cos":
             decay = 0.5 * init_lr * (1.0 + jnp.cos(tt / total * math.pi))
@@ -100,13 +104,20 @@ def _path_names(path) -> list:
 
 def param_group_label(path, _=None) -> str:
     """Label a param path as {clip,noclip}_{decay,nodecay}
-    (reference: optimization.py:180-194)."""
+    (reference: optimization.py:180-194).
+
+    The torch no_decay list is ['bias', 'LayerNorm.bias', 'LayerNorm.weight']
+    matched as SUBSTRINGS of the dotted name — and no parameter in the
+    reference model is actually named `LayerNorm.*` (CLIP and the cross
+    module both use `ln_*` attribute names, module_cross.py:93-158), so in
+    practice only 'bias' ever matches: every LayerNorm WEIGHT (and
+    logit_scale, embeddings, …) sits in the DECAY group.  Caught by the
+    trajectory oracle (test_reference_oracle.py) — an earlier version of
+    this rule wrongly exempted `norm/scale` leaves from decay."""
     names = _path_names(path)
     is_clip = names[0] == "clip" and not any(
         any(nd in n for nd in NEW_ADDED_MODULES) for n in names)
-    # torch no_decay = ['bias', 'LayerNorm.bias', 'LayerNorm.weight']; in our
-    # tree LayerNorm params live under .../norm/{scale,bias}
-    no_decay = names[-1] == "bias" or (len(names) >= 2 and names[-2] == "norm")
+    no_decay = names[-1] == "bias"
     return f"{'clip' if is_clip else 'noclip'}_{'nodecay' if no_decay else 'decay'}"
 
 

@@ -53,8 +53,11 @@ def test_group_labels_and_coef_lr():
     cv = labels["clip"]["visual"]
     assert cv["resblocks_0"]["mlp"]["c_fc"]["kernel"] == "clip_decay"
     assert cv["resblocks_0"]["mlp"]["c_fc"]["bias"] == "clip_nodecay"
-    # LayerNorm scale AND bias are no-decay (torch no_decay list)
-    assert cv["ln_pre"]["norm"]["scale"] == "clip_nodecay"
+    # LayerNorm SCALES decay: the reference's no_decay list only ever
+    # matches 'bias' substrings — no param is named LayerNorm.* (all its
+    # LNs are ln_*), pinned by the trajectory oracle
+    assert cv["ln_pre"]["norm"]["scale"] == "clip_decay"
+    assert cv["ln_pre"]["norm"]["bias"] == "clip_nodecay"
     # new_added_modules (deepcluster) count as non-clip even under clip
     assert cv["deepcluster_1"]["fc1"]["kernel"] == "noclip_decay"
     assert labels["clip"]["logit_scale"] == "clip_decay"

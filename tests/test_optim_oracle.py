@@ -48,15 +48,18 @@ ref_sched = _load("ref_lr_scheduler", "lr_scheduler.py")
 # --------------------------------------------------------------- tiny model
 class _TorchTiny(torch.nn.Module):
     """Names chosen so the reference's string matching puts one param in
-    every group: clip_decay (clip.lin.weight), clip_nodecay (clip.lin.bias,
-    clip.LayerNorm.*), new-added-inside-clip -> noclip (clip.frame_embedding),
+    every group: clip_decay (clip.lin.weight AND clip.ln.weight — the
+    reference names its LayerNorms `ln_*`, never `LayerNorm`, so the
+    no_decay list's 'LayerNorm.weight' entry never matches and LN weights
+    DO decay), clip_nodecay (clip.lin.bias, clip.ln.bias),
+    new-added-inside-clip -> noclip (clip.frame_embedding),
     noclip_decay (head.weight), noclip_nodecay (head.bias)."""
 
     def __init__(self):
         super().__init__()
         self.clip = torch.nn.Module()
         self.clip.lin = torch.nn.Linear(4, 4)
-        self.clip.LayerNorm = torch.nn.LayerNorm(4)
+        self.clip.ln = torch.nn.LayerNorm(4)
         self.clip.frame_embedding = torch.nn.Linear(3, 4, bias=False)
         self.head = torch.nn.Linear(4, 2)
 
@@ -67,8 +70,8 @@ class _TorchTiny(torch.nn.Module):
 PAIRS = [
     ("clip.lin.weight", ("clip", "lin", "kernel")),
     ("clip.lin.bias", ("clip", "lin", "bias")),
-    ("clip.LayerNorm.weight", ("clip", "norm", "scale")),
-    ("clip.LayerNorm.bias", ("clip", "norm", "bias")),
+    ("clip.ln.weight", ("clip", "ln", "norm", "scale")),
+    ("clip.ln.bias", ("clip", "ln", "norm", "bias")),
     ("clip.frame_embedding.weight", ("clip", "frame_embedding", "kernel")),
     ("head.weight", ("head", "kernel")),
     ("head.bias", ("head", "bias")),

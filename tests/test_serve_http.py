@@ -94,6 +94,7 @@ def test_error_contract(server):
     # malformed bodies -> 400 with an "error" field
     for bad in ({}, {"queries": []}, {"queries": [1, 2]},
                 {"queries": ["q"], "k": 0}, {"queries": ["q"], "k": "3"},
+                {"queries": ["q"], "k": True},  # bool subclasses int
                 {"queries": ["q"] * (MAX_QUERIES_PER_REQUEST + 1)}):
         code, body = _post(base + "/search", bad)
         assert code == 400 and "error" in body, bad

@@ -141,6 +141,27 @@ def test_ivf_add_matches_fresh_build(rng):
     np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-4)
 
 
+def test_ivf_large_batch_chunks_and_negative_lookup(rng):
+    """Query batches above MAX_QUERY_BUCKET are chunked (bounding the
+    [Q, nprobe, cap, D] probe gather) with identical results, and lookup
+    refuses the -1 no-result sentinel instead of wrapping to the last id."""
+    from centerclip_tpu.serve.ivf import MAX_QUERY_BUCKET
+    emb = _clustered_gallery(rng, n=256)
+    ids = [f"v{i}" for i in range(256)]
+    ivf = IVFVideoIndex(emb, ids, n_clusters=8, nprobe=3)
+    big = rng.normal(size=(MAX_QUERY_BUCKET + 9, emb.shape[1]))
+    big = big.astype(np.float32)
+    s, i = ivf.search(big, k=5)
+    assert s.shape == (MAX_QUERY_BUCKET + 9, 5)
+    s0, i0 = ivf.search(big[:MAX_QUERY_BUCKET], k=5)
+    s1, i1 = ivf.search(big[MAX_QUERY_BUCKET:], k=5)
+    np.testing.assert_array_equal(i, np.concatenate([i0, i1]))
+    np.testing.assert_allclose(s, np.concatenate([s0, s1]), rtol=1e-6)
+    assert ivf.lookup(np.array([3, 0])) == ["v3", "v0"]
+    with pytest.raises(ValueError, match="sentinel"):
+        ivf.lookup(np.array([2, -1]))
+
+
 # ------------------------------------------------------------ engine fusion
 def test_engine_fused_search_with_ivf(rng):
     """RetrievalEngine.search over an IVF index: the fused tower+probe
@@ -155,9 +176,12 @@ def test_engine_fused_search_with_ivf(rng):
 
     engine.index = VideoIndex(gallery, ids)
     flat_out = engine.search(["a man cooking", "a dog"], k=4)
+    # re-attaching a different index must not need a manual cache clear:
+    # the fused cache is keyed on index.version and self-evicts
     engine.index = IVFVideoIndex(gallery, ids, n_clusters=4, nprobe=4)
-    engine._fused_cache.clear()
     ivf_out = engine.search(["a man cooking", "a dog"], k=4)
+    assert all(key[1] == engine.index.version
+               for key in engine._fused_cache)
     for a, b in zip(flat_out, ivf_out):
         assert [r["video_id"] for r in a] == [r["video_id"] for r in b]
         np.testing.assert_allclose([r["score"] for r in a],
