@@ -121,24 +121,76 @@ def test_ivf_save_load_roundtrip(rng, tmp_path):
 
 
 def test_ivf_add_matches_fresh_build(rng):
+    """Incremental add (O(M) scatter into free slots — no re-group) must
+    stay EXACT at nprobe == n_clusters: every occupied row is scored, so
+    results equal the flat index over the concatenated gallery."""
     emb = _clustered_gallery(rng, n=300)
     ids = [f"v{i}" for i in range(300)]
     ivf = IVFVideoIndex(emb[:200], ids[:200], quantize="int8",
                         n_clusters=8, seed=1)
+    cap_before = ivf.capacity
     ivf.add(emb[200:], ids[200:])
     assert len(ivf) == 300 and ivf.video_ids == ids
-    # centroids fixed at add time: a fresh build OVER THE SAME centroids
-    # must produce identical answers (grouping is deterministic)
-    fresh = IVFVideoIndex(emb[:1], ids[:1], quantize="int8",
-                          n_clusters=8, _skip_build=True)
-    fresh.video_ids, fresh.n_valid = list(ids), 300
-    fresh.centroids = ivf.centroids
-    fresh._group(emb / np.linalg.norm(emb, axis=1, keepdims=True))
+    # the incremental path was taken: capacity untouched, invariants hold
+    assert ivf.capacity == cap_before
+    occ = (ivf._rowids_host >= 0).sum(axis=1)
+    assert occ.sum() == 300 and occ.max() <= ivf.capacity
+    present = np.sort(ivf._rowids_host[ivf._rowids_host >= 0])
+    np.testing.assert_array_equal(present, np.arange(300))
+    # host and device grouped arrays agree after the scatter
+    np.testing.assert_array_equal(np.asarray(ivf._rowids),
+                                  ivf._rowids_host)
+    flat = VideoIndex(emb, ids, quantize="int8")
     q = rng.normal(size=(4, emb.shape[1])).astype(np.float32)
     s0, i0 = ivf.search(q, k=6, nprobe=8)
-    s1, i1 = fresh.search(q, k=6, nprobe=8)
+    s1, i1 = flat.search(q, k=6)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_add_regroups_when_out_of_room(rng):
+    """Appending more rows than the cells' free slots triggers the full
+    re-group fallback (capacity recomputed), still exact at full probe."""
+    emb = _clustered_gallery(rng, n=400)
+    ids = [f"v{i}" for i in range(400)]
+    ivf = IVFVideoIndex(emb[:64], ids[:64], n_clusters=4,
+                        capacity_factor=1.0, seed=1)
+    room = ivf.n_clusters * ivf.capacity - 64
+    assert room < 336   # the add below cannot fit incrementally
+    ivf.add(emb[64:], ids[64:])
+    assert len(ivf) == 400
+    assert ivf.n_clusters * ivf.capacity >= 400
+    s0, i0 = ivf.search(emb[:3], k=5, nprobe=ivf.n_clusters)
+    s1, i1 = VideoIndex(emb, ids).search(emb[:3], k=5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-3, atol=1e-3)
+
+
+def test_ivf_add_spill_threshold_regroups(rng):
+    """Once cumulative add-time spill crosses SPILL_REGROUP_FRACTION the
+    next add re-groups everything and resets the spill counter."""
+    emb = _clustered_gallery(rng, n=256, n_centers=4)
+    ids = [f"v{i}" for i in range(256)]
+    ivf = IVFVideoIndex(emb[:128], ids[:128], n_clusters=4,
+                        capacity_factor=3.0, seed=1)
+    assert ivf._spilled == 0
+    # force every appended row toward one (soon-full) cell: copies of the
+    # row whose cell is already the most loaded
+    occ = (ivf._rowids_host >= 0).sum(axis=1)
+    hot = int(np.argmax(occ))
+    hot_vec = ivf.centroids[hot][None]
+    n_fill = int(ivf.capacity - occ[hot])
+    fill = np.repeat(hot_vec, n_fill + 40, axis=0)
+    fill += 0.01 * rng.normal(size=fill.shape).astype(np.float32)
+    cap_before = ivf.capacity
+    ivf.add(fill, [f"fill{i}" for i in range(len(fill))])
+    # the hot cell overflowed by 40 rows -> spill 40 > 10% of the gallery:
+    # the add must have fallen back to a full re-group (counter reset,
+    # capacity recomputed for the larger gallery)
+    assert ivf._spilled == 0
+    assert ivf.capacity > cap_before
+    occ = (ivf._rowids_host >= 0).sum(axis=1)
+    assert occ.max() <= ivf.capacity and occ.sum() == len(ivf)
 
 
 def test_ivf_large_batch_chunks_and_negative_lookup(rng):
