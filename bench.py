@@ -359,8 +359,29 @@ def bench_serve() -> dict:
         return scores[0, 0]
 
     t32_int = device_time(run_internal, ENCODE_RUNS)
+
+    # IVF (cluster-pruned) breakdown on the SAME gallery (VERDICT r4 next
+    # #3): the low-latency B=1 path — fused tower + probe + in-cell top-k
+    # through the same public engine — plus its recall vs the flat exact
+    # ranking at the default nprobe
+    from centerclip_tpu.serve.ivf import IVFVideoIndex
+    flat_b1 = engine.search(queries[:1], k=k)
+    ivf = IVFVideoIndex(emb, index.video_ids, quantize="int8", iters=5)
+    engine.index = ivf
+    t1_ivf = public_time(1, ENCODE_RUNS)
+    ivf_b1 = engine.search(queries[:1], k=k)
+    got = [r["video_id"] for r in ivf_b1[0]]
+    want = [r["video_id"] for r in flat_b1[0]]
+    recall = len(set(got) & set(want)) / float(k)
+    engine.index = index
+
     return {"qps_b32": 32.0 / t32, "query_ms_b1": t1 * 1e3,
             "internal_qps_b32": 32.0 / t32_int,
+            "ivf_query_ms_b1": t1_ivf * 1e3,
+            "ivf_recall_at_10": recall,
+            "ivf_config": {"n_clusters": ivf.n_clusters,
+                           "nprobe": ivf.nprobe,
+                           "capacity": ivf.capacity},
             "gallery": n_gallery, "quantize": "int8", "topk": k,
             "path": "RetrievalEngine.search (strings in, ids out)"}
 
@@ -439,7 +460,11 @@ def main():
     second pass retries anything that failed or was capped with whatever
     budget is left.  Sections still unmeasured at the end are listed in
     ``skipped``."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    # 1300 s default: two rc=124 rounds put the driver's kill window near
+    # ~1500 s (last emit r4 at 1463 s) — the graceful skip path and final
+    # accounting must finish INSIDE it so the driver finally records rc=0
+    # (VERDICT r4 next #1a)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1300"))
     t_start = time.monotonic()
 
     def remaining():
@@ -494,10 +519,15 @@ def main():
             if serve else None,
             "serve_internal_qps_b32": round(serve["internal_qps_b32"], 1)
             if serve and serve.get("internal_qps_b32") else None,
+            "serve_ivf_query_ms_b1": round(serve["ivf_query_ms_b1"], 2)
+            if serve and serve.get("ivf_query_ms_b1") else None,
+            "serve_ivf_recall_at_10": serve.get("ivf_recall_at_10")
+            if serve else None,
             "serve_config": ({"gallery": serve["gallery"],
                               "quantize": serve["quantize"],
                               "topk": serve["topk"],
-                              "path": serve.get("path")} if serve
+                              "path": serve.get("path"),
+                              "ivf": serve.get("ivf_config")} if serve
                              else None),
             "bench_budget_s": budget,
             "bench_elapsed_s": round(time.monotonic() - t_start, 1),
@@ -505,11 +535,12 @@ def main():
         }
         print(json.dumps(out), flush=True)
 
-    # ---- headline: encode throughput (~200-450 s warm-cache, ~5-8 min
-    # cold over the tunnel; capped so a stalled attempt can't eat the
-    # whole budget before the first parseable line exists)
-    for b in (ENCODE_BATCH, ENCODE_BATCH, 16):
-        to = min(remaining() - 30, 900)
+    # ---- headline: encode throughput (~200-450 s warm-cache over the
+    # tunnel).  First attempt capped at 450 s so a stalled child is
+    # detected while most of the window remains (VERDICT r4 next #1c);
+    # the retry gets a longer leash, the B=16 fallback whatever is left.
+    for b, cap in ((ENCODE_BATCH, 450), (ENCODE_BATCH, 600), (16, 450)):
+        to = min(remaining() - 30, cap)
         if to < 60:
             break
         clips = _run_child(["--encode", str(b)], timeout=to)
@@ -517,18 +548,23 @@ def main():
             st["clips"], st["used_b"] = clips, b
             break
         if remaining() > 420:  # only back off while there is room to retry
-            time.sleep(45)
+            time.sleep(30)
     emit()  # first parseable line — the floor the driver can always read
 
-    # ---- secondaries, cheap-and-stable first, volatile last;
+    # ---- secondaries, NEVER-driver-captured first (VERDICT r4 next #1b):
+    # r1-r4 banked the headline, b16, anet and (r2) kmedoids, but no driver
+    # artifact has ever held train8/serve/parity — they go first while the
+    # window is fresh.  Caps are measured warm-cache times + slack
+    # (builder round-5 timings: train8 383 s cold / see CLAUDE.md, serve
+    # and parity each a few minutes).
     # (key, argv, min useful window s, per-section cap s, runner)
     plan = (
+        ("train8", ["--train8"], 90, 450, _run_child),
+        ("serve", ["--serve"], 90, 420, _run_child_json),
+        ("parity", ["--attnparity"], 60, 300, _run_child_json),
         ("kmedoids", ["--kmedoids"], 45, 300, _run_child),
-        ("b16", ["--b16"], 60, 480, _run_child),
-        ("anet", ["--anet"], 60, 480, _run_child),
-        ("train8", ["--train8"], 90, 900, _run_child),
-        ("serve", ["--serve"], 90, 600, _run_child_json),
-        ("parity", ["--attnparity"], 90, 600, _run_child_json),
+        ("b16", ["--b16"], 60, 360, _run_child),
+        ("anet", ["--anet"], 60, 360, _run_child),
     )
     had_failure = False
     for key, args, floor, cap, runner in plan:
