@@ -324,7 +324,15 @@ def bench_serve() -> dict:
         video_mask=np.ones((2, 12), np.int32))["params"]
 
     n_gallery, dim, k = 100_000, 512, 10
-    emb = rng.normal(size=(n_gallery, dim)).astype(np.float32)
+    # clusterable gallery (centers + noise), like real CLIP video embeddings
+    # — an i.i.d. gaussian gallery is IVF's worst case (no cell structure,
+    # recall@nprobe collapses) and represents no real workload; the flat
+    # path's numbers are data-independent either way
+    n_centers = 256
+    centers = rng.normal(size=(n_centers, dim)).astype(np.float32)
+    labels = rng.integers(0, n_centers, size=n_gallery)
+    emb = (centers[labels]
+           + 0.35 * rng.normal(size=(n_gallery, dim)).astype(np.float32))
     index = VideoIndex(emb, [f"video{i}" for i in range(n_gallery)],
                        quantize="int8")
     engine = RetrievalEngine(model, params, index=index)
