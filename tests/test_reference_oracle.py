@@ -451,6 +451,9 @@ def test_gradients_match_reference(pair, torch_dist):
 
 
 # --------------------------------------------------- integrated train steps
+@pytest.mark.slow  # ~27 s/combo x 4: integration tier; the fast tier keeps
+# the per-component links (forward oracle, test_gradients_match_reference,
+# test_optim_oracle's trajectory-given-grads)
 @pytest.mark.parametrize("optim_name", ["BertAdam", "AdamW"])
 def test_train_trajectory_matches_reference(pair, optim_name, torch_dist):
     """Multi-step INTEGRATED training parity (VERDICT r4 missing #2b): the

@@ -185,6 +185,7 @@ def test_tp_cluster_smoke(rng):
     assert changed
 
 
+@pytest.mark.slow
 def test_sp_matches_dp(rng):
     """Sequence parallelism (token-sharded residual stream over the model
     axis) is a pure layout change: dp=4 x tp=2 with sp reproduces the dp=8
@@ -213,6 +214,7 @@ def test_sp_matches_dp(rng):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_sp_cluster_fsdp_smoke(rng):
     """The full composition — dp x tp x sp x fsdp — trains the flagship
     cluster path to a finite loss (the dryrun leg's shape, pinned here)."""

@@ -52,7 +52,9 @@ def make_batch(rng, n):
     }
 
 
-@pytest.mark.parametrize("optim", ["BertAdam", "AdamW"])
+@pytest.mark.parametrize("optim", [
+    "BertAdam",  # the reference's default stays in the fast tier
+    pytest.param("AdamW", marks=pytest.mark.slow)])
 def test_training_reduces_loss(optim, rng):
     run = tiny_cfg(optim=optim)
     model = CLIP4Clip(run.model)
