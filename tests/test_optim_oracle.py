@@ -85,7 +85,15 @@ def _jax_tree_from(model):
         node = tree
         for key in path[:-1]:
             node = node.setdefault(key, {})
-        node[path[-1]] = jnp.asarray(named[tname].detach().numpy())
+        # np.array(..., copy=True): `jnp.asarray` of a torch-parameter VIEW
+        # can zero-copy alias the torch storage on the CPU backend (it does
+        # so whenever the buffer happens to be 64-byte aligned — allocator-
+        # history-dependent), and the in-place torch `opt.step()` below
+        # would then silently mutate what jax reads as the initial params.
+        # Observed as a rare order-dependent 4e-5 trajectory drift in the
+        # full suite.  state_dict_to_params is immune (its astype copies).
+        node[path[-1]] = jnp.asarray(
+            np.array(named[tname].detach().numpy(), copy=True))
     return tree
 
 
