@@ -2,13 +2,13 @@
 """Benchmark harness — prints cumulative JSON lines, last line = record.
 
 The driver parses the LAST stdout line.  `main()` runs under a hard
-wall-clock budget (env ``BENCH_BUDGET_S``, default 2400 s), prints a
+wall-clock budget (env ``BENCH_BUDGET_S``, default 1380 s), prints a
 headline-only line immediately after the encode measurement, then re-emits
 a cumulative superset line after every completed secondary — so a driver
 timeout at any point still leaves a complete, parseable record of
 everything measured so far (fix for BENCH_r03's ``rc=124, parsed: null``).
-Secondaries run cheapest-first with per-section caps and a retry pass, so
-one stalled child cannot starve the record (see `main`).
+Secondaries run never-driver-captured-first with per-section caps and a
+retry pass, so one stalled child cannot starve the record (see `main`).
 
 Headline metric: **video-encode clips/sec/chip** on the BASELINE.json
 north-star config — ViT-B/32, 12 frames, kmediods++ 12->6 token clustering,
@@ -450,7 +450,7 @@ def _run_child_json(args, timeout=900):
 def main():
     """Driver-survivable orchestration (VERDICT r3 next #1).
 
-    Hard wall-clock budget (``BENCH_BUDGET_S``, default 2400 s): the headline
+    Hard wall-clock budget (``BENCH_BUDGET_S``, default 1380 s): the headline
     encode measurement runs first and its JSON line is printed AND FLUSHED
     immediately, then every completed secondary re-emits a cumulative
     superset line.  The driver parses the LAST stdout line, so even if the
@@ -468,11 +468,16 @@ def main():
     second pass retries anything that failed or was capped with whatever
     budget is left.  Sections still unmeasured at the end are listed in
     ``skipped``."""
-    # 1300 s default: two rc=124 rounds put the driver's kill window near
-    # ~1500 s (last emit r4 at 1463 s) — the graceful skip path and final
-    # accounting must finish INSIDE it so the driver finally records rc=0
-    # (VERDICT r4 next #1a)
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1300"))
+    # 1380 s default: two rc=124 rounds put the driver's kill window near
+    # ~1500 s (r4's process was still alive at its 1463.5 s emit) — the
+    # graceful skip path and final accounting must finish INSIDE it so the
+    # driver records rc=0 (VERDICT r4 next #1a).  Process overhead beyond
+    # the budget is ~2 s (measured: rehearsal wall 1287 s vs elapsed
+    # 1285.1), so exit lands ~1385 s — ≥78 s before the earliest possible
+    # kill.  A 1300 s rehearsal captured every never-driver-captured
+    # section (train8/serve/parity/kmedoids) by 1035 s; the extra 80 s is
+    # to fit b16+anet too instead of listing them in `skipped`.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1380"))
     t_start = time.monotonic()
 
     def remaining():
