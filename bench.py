@@ -570,6 +570,29 @@ def main():
     # window is fresh.  Caps are measured warm-cache times + slack
     # (builder round-5 timings: train8 383 s cold / see CLAUDE.md, serve
     # and parity each a few minutes).
+    # Tunnel stalls can contaminate a slope measurement by an order of
+    # magnitude (a rehearsal recorded train8 = 566 ms for the 25 ms step
+    # while every other section was sane).  Each section gets a loose
+    # plausibility bound (~5x beyond every documented builder/driver
+    # range); an out-of-bounds value is banked and emitted as-is, but
+    # pass 2 re-measures it ONCE and the fresh value replaces it
+    # WHATEVER it is — a single bounded re-measure, never pick-the-best.
+    plausible = {
+        "train8": lambda v: v <= 120,      # documented 22-26 ms warm
+        "kmedoids": lambda v: v <= 0.05,   # documented 7-8 ms
+        "b16": lambda v: v >= 100,         # documented 339-349 clips/s
+        "anet": lambda v: v >= 80,         # documented 243-260 clips/s
+        "serve": lambda v: v.get("qps_b32", 1e9) >= 150,  # doc. 453-1127
+    }
+
+    def _suspect(key, val):
+        chk = plausible.get(key)
+        if chk is None or val is None or chk(val):
+            return False
+        print(f"[bench] {key} value {val} outside plausibility bound — "
+              "will re-measure once in pass 2", file=sys.stderr)
+        return True
+
     # (key, argv, min useful window s, per-section cap s, runner)
     plan = (
         ("train8", ["--train8"], 90, 450, _run_child),
@@ -580,6 +603,7 @@ def main():
         ("anet", ["--anet"], 60, 360, _run_child),
     )
     had_failure = False
+    suspect = set()
     for key, args, floor, cap, runner in plan:
         to = min(remaining() - 15, cap)
         if to < floor:
@@ -589,23 +613,28 @@ def main():
             had_failure = True
         else:
             st[key] = val
+            if _suspect(key, val):
+                suspect.add(key)
             emit()
-    # ---- pass 2: retry anything capped/failed/deferred with the leftover
+    # ---- pass 2: retry anything capped/failed/deferred/implausible with
+    # the leftover.  A pass-2 failure never voids a pass-1 value.
     for key, args, floor, cap, runner in plan:
-        if st[key] is not None:
+        if st[key] is not None and key not in suspect:
             continue
-        to = remaining() - 15
+        to = min(remaining() - 15, cap)
         if to < floor:
-            st["skipped"].append(key)
+            if st[key] is None:
+                st["skipped"].append(key)
             continue
         if had_failure:
             time.sleep(15)  # give a crashed tunnel worker time to recover
             had_failure = False
         val = runner(args, timeout=to)
         if val is not None:
-            st[key] = val
+            st[key] = val   # fresh value replaces a suspect one, whatever it is
+            suspect.discard(key)
             emit()
-        else:
+        elif st[key] is None:
             st["skipped"].append(key)
     if st["skipped"]:
         emit()
