@@ -247,6 +247,13 @@ def state_dict_to_params(sd: StateDict, cfg: ModelConfig,
             reference logs these as "missing keys", base.py:221-250).
     Returns:
         (params, report) where report = {'missing': [...], 'unexpected': [...]}
+
+    The returned tree OWNS its memory (the astype below always copies):
+    jax's CPU backend zero-copy-aliases sufficiently aligned numpy arrays,
+    and `sd` values are often views of LIVE torch parameter storage — a
+    caller that keeps training the torch model in place must never be able
+    to mutate the converted params (pinned by
+    tests/test_weights_extra.py::test_converter_never_aliases_source_memory).
     """
     sd = _rename_gamma_beta(lift_clip_prefix(strip_module_prefix(
         {k: np.asarray(v) for k, v in sd.items()})))

@@ -102,3 +102,29 @@ def test_module_prefix_stripping():
     # mixed prefixes left untouched
     sd2 = {"module.a": 1, "b": 2}
     assert strip_module_prefix(sd2) == sd2
+
+
+def test_converter_never_aliases_source_memory():
+    """No-aliasing contract: jax on the CPU backend can ZERO-COPY a
+    sufficiently aligned numpy array (jnp.asarray of a torch-parameter
+    view aliases the live torch storage), so the converter must hand
+    back trees that own their memory — a caller that keeps training the
+    torch model in place must not mutate the converted params.
+    `astype(float32)` inside state_dict_to_params guarantees the copy;
+    this pins it (see tests/test_optim_oracle.py for the observed
+    in-suite drift when a conversion path skipped the copy)."""
+    torch = pytest.importorskip("torch")
+    cfg = _cfg()
+    init = _init_params(cfg)
+    sd = params_to_state_dict(init, cfg)
+    # route through torch tensors so the values are real torch storage
+    # (64-byte aligned allocations — the zero-copy-eligible case)
+    tsd = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+    view_sd = {k: t.detach().numpy() for k, t in tsd.items()}
+    params, report = state_dict_to_params(view_sd, cfg, init_params=init,
+                                          apply_tricks=False)
+    before = jax.tree_util.tree_map(np.array, params)
+    for t in tsd.values():   # in-place mutation, like an optimizer step
+        t.add_(123.0)
+    after = jax.tree_util.tree_map(np.asarray, params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, before, after)
