@@ -466,8 +466,9 @@ def main():
     serve, parity), (b) every child gets a hard per-section CAP so one
     stalled measurement cannot starve the rest of the plan, and (c) a
     second pass retries anything that failed or was capped with whatever
-    budget is left.  Sections still unmeasured at the end are listed in
-    ``skipped``."""
+    budget is left (an implausible-value re-measure keeps its cap — it
+    already has a value).  Sections still unmeasured at the end are
+    listed in ``skipped``."""
     # 1380 s default: two rc=124 rounds put the driver's kill window near
     # ~1500 s (r4's process was still alive at its 1463.5 s emit) — the
     # graceful skip path and final accounting must finish INSIDE it so the
@@ -616,12 +617,20 @@ def main():
             if _suspect(key, val):
                 suspect.add(key)
             emit()
-    # ---- pass 2: retry anything capped/failed/deferred/implausible with
-    # the leftover.  A pass-2 failure never voids a pass-1 value.
+    # ---- pass 2: retry anything capped/failed/deferred/implausible.
+    # A section with NO value yet gets the WHOLE leftover (the per-section
+    # caps exist to protect the rest of the plan; in pass 2 the plan is
+    # done and a tunnel-slow-but-healthy child — e.g. a train8 landing in
+    # the documented 257-860 s cache-HIT band — deserves every remaining
+    # second).  A suspect RE-measure keeps the cap: it already has a
+    # value, so it must not starve later unmeasured sections.  A pass-2
+    # failure never voids a pass-1 value.
     for key, args, floor, cap, runner in plan:
         if st[key] is not None and key not in suspect:
             continue
-        to = min(remaining() - 15, cap)
+        to = remaining() - 15
+        if key in suspect:
+            to = min(to, cap)
         if to < floor:
             if st[key] is None:
                 st["skipped"].append(key)

@@ -229,15 +229,28 @@ class RetrievalEngine:
     def search_token_ids(self, input_ids: np.ndarray, k: int = 5
                          ) -> Tuple[np.ndarray, np.ndarray]:
         """Tokenised queries -> (scores [Q, k] incl. exp(logit_scale),
-        gallery row indices [Q, k]) via the fused single-dispatch path."""
+        gallery row indices [Q, k]) via the fused single-dispatch path.
+
+        If the attached index advertises `max_query_bucket` (the IVF
+        index: its probe gather materialises [Q, nprobe, cap, D] rows, so
+        an unchunked 128-query batch against a 1M-row gallery would
+        gather ~GBs in one dispatch), larger batches are split into
+        per-chunk dispatches — queries score independently, so the
+        concatenated result is identical."""
         if self.index is None:
             raise RuntimeError("no index attached — build or load one first")
         if k <= 0:
             raise ValueError("k must be positive")
         k = min(k, self.index.n_valid)
+        input_ids = np.asarray(input_ids, np.int32)
         n = input_ids.shape[0]
-        ids = self._pad_rows(np.asarray(input_ids, np.int32),
-                             self._bucket(n))
+        chunk = getattr(self.index, "max_query_bucket", None)
+        if chunk is not None and n > chunk:
+            parts = [self.search_token_ids(input_ids[i:i + chunk], k)
+                     for i in range(0, n, chunk)]
+            return (np.concatenate([p[0] for p in parts], axis=0),
+                    np.concatenate([p[1] for p in parts], axis=0))
+        ids = self._pad_rows(input_ids, self._bucket(n))
         fn, operands = self._fused_search_fn(k)
         scores, idx = fn(self.variables, self._device_put(ids), *operands)
         scores, idx = jax.device_get((scores, idx))

@@ -219,6 +219,11 @@ class IVFVideoIndex:
         self.nprobe = int(np.clip(nprobe, 1, self.n_clusters))
         self._search_cache = {}
         self._spilled = 0
+        # count of full re-groups triggered by `add` fallbacks — capacity
+        # alone can't reveal whether an append took the O(M) path (the
+        # recomputed cap often rounds to the same value), so callers and
+        # benches check this counter (benchmarks/ivf_bench.py)
+        self.regroups = 0
         self.version = next(_INDEX_VERSIONS)
         if _skip_build:
             return
@@ -446,6 +451,7 @@ class IVFVideoIndex:
                           video_ids: Sequence[str]) -> None:
         """Fallback append: re-group everything (exact stored codes + the
         new rows) with a freshly-computed capacity."""
+        self.regroups += 1
         old = self._dequantized_rows()
         self.video_ids += [str(v) for v in video_ids]
         self.n_valid += int(emb_new.shape[0])

@@ -279,3 +279,24 @@ def test_engine_rejects_tighttransf(rng):
     model = CLIP4Clip(run.model)
     with pytest.raises(ValueError, match="pooled index"):
         RetrievalEngine(model, params={"clip": {"logit_scale": np.zeros(())}})
+
+
+def test_engine_chunks_large_batches_to_index_bucket(rng):
+    """An index that advertises `max_query_bucket` (the IVF index: its
+    probe gather materialises [Q, nprobe, cap, D]) must have large query
+    batches split into per-chunk fused dispatches by the ENGINE — the
+    public path, not just IVFVideoIndex.search — with results identical
+    to the unchunked program (queries score independently)."""
+    run, model, params = _init_engine_model(rng)
+    engine = RetrievalEngine(model, params)
+    batches = [make_batch(np.random.default_rng(s), 8) for s in range(2)]
+    engine.build_index(
+        ({"video": b["video"], "video_mask": b["video_mask"]}
+         for b in batches), [f"v{i}" for i in range(16)])
+    ids = np.concatenate([b["input_ids"] for b in batches])  # 16 queries
+
+    s_ref, i_ref = engine.search_token_ids(ids, k=4)   # flat: unchunked
+    engine.index.max_query_bucket = 5                  # force chunking
+    s_chk, i_chk = engine.search_token_ids(ids, k=4)
+    np.testing.assert_allclose(s_chk, s_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i_chk, i_ref)
